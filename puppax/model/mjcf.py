@@ -73,10 +73,11 @@ class RobotModel:
     geom_type: tuple = struct.field(pytree_node=False)
     site_bodyid: tuple = struct.field(pytree_node=False)
     actuator_jntid: tuple = struct.field(pytree_node=False)
+    dof_frictional: tuple = struct.field(pytree_node=False)  # dofs with frictionloss>0
     # collision candidate pair tables: tuples of (geom1, geom2)
     pairs_plane_sphere: tuple = struct.field(pytree_node=False)
     pairs_sphere_sphere: tuple = struct.field(pytree_node=False)
-    pairs_box_sphere: tuple = struct.field(pytree_node=False)
+    pairs_sphere_box: tuple = struct.field(pytree_node=False)
     # contact caps (reference custom numerics max_contact_points /
     # max_geom_pairs, /root/reference/test/test_pupper_model.xml:227-230)
     max_contact_points: int = struct.field(pytree_node=False)
@@ -110,6 +111,8 @@ class RobotModel:
     dof_frictionloss: jnp.ndarray  # (nv,)
     dof_solref: jnp.ndarray  # (nv, 2)
     dof_solimp: jnp.ndarray  # (nv, 5)
+    dof_invweight0: jnp.ndarray  # (nv,) diag(M^-1) at qpos0 (mujoco-precomputed)
+    body_invweight0: jnp.ndarray  # (nbody, 2) [lin, rot] inverse weights at qpos0
     geom_pos: jnp.ndarray  # (ngeom, 3)
     geom_quat: jnp.ndarray  # (ngeom, 4)
     geom_size: jnp.ndarray  # (ngeom, 3)
@@ -147,7 +150,7 @@ def _collision_pairs(m: mujoco.MjModel):
     """Static candidate collision pairs, MuJoCo pair-filter semantics:
     contype/conaffinity bitmask match, different bodies, parent-child
     excluded unless the parent is the world body."""
-    plane_sphere, sphere_sphere, box_sphere = [], [], []
+    plane_sphere, sphere_sphere, sphere_box = [], [], []
     supported = {GEOM_PLANE, GEOM_SPHERE, GEOM_BOX}
     for g1, g2 in itertools.combinations(range(m.ngeom), 2):
         if not (
@@ -177,14 +180,14 @@ def _collision_pairs(m: mujoco.MjModel):
         elif ta == GEOM_SPHERE and tb == GEOM_SPHERE:
             sphere_sphere.append((ga, gb))
         elif ta == GEOM_SPHERE and tb == GEOM_BOX:
-            box_sphere.append((gb, ga))
+            sphere_box.append((ga, gb))
         elif ta == GEOM_PLANE and tb == GEOM_BOX:
             # plane-box between world geoms is filtered by same-body above;
             # any other combination is out of scope for this model class
             raise NotImplementedError("plane-box collisions unsupported")
         else:
             raise NotImplementedError(f"pair ({ta},{tb}) unsupported")
-    return tuple(plane_sphere), tuple(sphere_sphere), tuple(box_sphere)
+    return tuple(plane_sphere), tuple(sphere_sphere), tuple(sphere_box)
 
 
 def _custom_numeric(m: mujoco.MjModel, name: str, default: int) -> int:
@@ -231,9 +234,10 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> RobotModel:
         geom_type=_t(m.geom_type),
         site_bodyid=_t(m.site_bodyid),
         actuator_jntid=_t(m.actuator_trnid[:, 0]),
+        dof_frictional=tuple(int(d) for d in np.nonzero(m.dof_frictionloss > 0)[0]),
         pairs_plane_sphere=ps,
         pairs_sphere_sphere=ss,
-        pairs_box_sphere=bs,
+        pairs_sphere_box=bs,
         max_contact_points=_custom_numeric(m, "max_contact_points", 8),
         max_geom_pairs=_custom_numeric(m, "max_geom_pairs", 8),
         timestep=float(m.opt.timestep),
@@ -262,6 +266,8 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> RobotModel:
         dof_frictionloss=arr(m.dof_frictionloss),
         dof_solref=arr(m.dof_solref),
         dof_solimp=arr(m.dof_solimp),
+        dof_invweight0=arr(m.dof_invweight0),
+        body_invweight0=arr(m.body_invweight0),
         geom_pos=arr(m.geom_pos),
         geom_quat=arr(m.geom_quat),
         geom_size=arr(m.geom_size),

@@ -1,0 +1,41 @@
+"""Semi-implicit Euler integration (MuJoCo mj_Euler, eulerdamp disabled).
+
+The reference model disables eulerdamp
+(/root/reference/test/test_pupper_model.xml:58), so there is no implicit
+damping solve: qvel += dt*qacc, then position integration with quaternion
+update for the free joint (free-joint angular velocity is body-frame,
+mju_quatIntegrate semantics).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from puppax.model.mjcf import JNT_FREE, JNT_HINGE, RobotModel
+from puppax.ops import math
+
+
+def integrate_pos(m: RobotModel, qpos: jnp.ndarray, qvel: jnp.ndarray, dt) -> jnp.ndarray:
+    out = qpos
+    for j in range(m.njnt):
+        qadr = m.jnt_qposadr[j]
+        dadr = m.jnt_dofadr[j]
+        if m.jnt_type[j] == JNT_FREE:
+            out = out.at[qadr : qadr + 3].set(
+                qpos[qadr : qadr + 3] + dt * qvel[dadr : dadr + 3]
+            )
+            quat = math.quat_integrate(
+                qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
+            )
+            out = out.at[qadr + 3 : qadr + 7].set(quat)
+        elif m.jnt_type[j] == JNT_HINGE:
+            out = out.at[qadr].set(qpos[qadr] + dt * qvel[dadr])
+        else:  # pragma: no cover
+            raise NotImplementedError(m.jnt_type[j])
+    return out
+
+
+def euler(m: RobotModel, qpos: jnp.ndarray, qvel: jnp.ndarray, qacc: jnp.ndarray):
+    qvel_new = qvel + m.timestep * qacc
+    qpos_new = integrate_pos(m, qpos, qvel_new, m.timestep)
+    return qpos_new, qvel_new
