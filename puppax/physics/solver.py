@@ -65,23 +65,59 @@ def solve(
         chol = jax.scipy.linalg.cho_factor(H)
         dx = -jax.scipy.linalg.cho_solve(chol, grad)
 
-        # exact line search: phi(alpha) is piecewise quadratic in alpha
+        # Exact line search. phi(alpha) is convex piecewise quadratic, so
+        # phi'(alpha) is increasing piecewise linear:
+        #   phi'(a) = g0 + a h0 + sum_onesided min(D (jar + a jv), 0) jv
+        #                       + sum_friction clip(D (jar + a jv), ±floss) jv
+        # The exact minimizer is the root of phi'. We locate the linear
+        # segment containing the sign change by evaluating phi' at every
+        # activity breakpoint (O(nefc^2) fused elementwise work — cheaper
+        # than an iterative search on TPU and bit-deterministic), then solve
+        # the linear segment in closed form. States where MuJoCo C's capped
+        # iterative search converges match this to machine precision.
         jv = efc.J @ dx
         mdx = qM @ dx
         g0 = jnp.dot(dx, ma)  # gauss gradient term at alpha=0
-        h0 = jnp.dot(dx, mdx)  # gauss curvature (constant)
+        h0 = jnp.maximum(jnp.dot(dx, mdx), 1e-12)  # gauss curvature > 0
 
-        def ls_body(alpha, _):
-            jar_a = jar + alpha * jv
-            force_a, quad_a = _row_force(efc, jar_a)
-            dphi = g0 + alpha * h0 - jnp.dot(jv, force_a)
-            ddphi = h0 + jnp.sum(quad_a * efc.D * jv * jv)
-            alpha = alpha - dphi / jnp.maximum(ddphi, 1e-12)
-            return alpha, None
+        def dphi_fn(alpha):
+            # alpha: (...,) broadcast over rows
+            jar_a = jar + alpha[..., None] * jv
+            dja = efc.D * jar_a
+            s = jnp.where(
+                efc.is_friction,
+                jnp.clip(dja, -efc.floss, efc.floss),
+                jnp.minimum(dja, 0.0),
+            )
+            return g0 + alpha * h0 + jnp.sum(s * jv, axis=-1)
 
-        alpha = jnp.zeros((), dtype)
-        for _ls in range(max(m.ls_iterations, 1)):
-            alpha, _ = ls_body(alpha, None)
+        BIG = jnp.asarray(1e12, dtype)
+        safe_jv = jnp.where(jnp.abs(jv) > 1e-12, jv, 1.0)
+        valid = (jnp.abs(jv) > 1e-12) & (efc.D > 0)
+        bp0 = jnp.where(valid, -jar / safe_jv, BIG)
+        fl_over_d = efc.floss / jnp.maximum(efc.D, 1e-30)
+        bp_lo = jnp.where(
+            valid & efc.is_friction, (-fl_over_d - jar) / safe_jv, BIG
+        )
+        bp_hi = jnp.where(
+            valid & efc.is_friction, (fl_over_d - jar) / safe_jv, BIG
+        )
+        bps = jnp.concatenate([bp0, bp_lo, bp_hi, jnp.zeros((1,), dtype)])
+        vals = dphi_fn(bps)
+        # segment bracket: largest bp with phi'<=0, smallest bp with phi'>0
+        neg = vals <= 0
+        a_lo = jnp.max(jnp.where(neg, bps, -BIG))
+        a_hi = jnp.min(jnp.where(~neg, bps, BIG))
+        # phi' is linear on (a_lo, a_hi): root via evaluation at two points
+        has_hi = a_hi < BIG
+        mid = jnp.where(has_hi, 0.5 * (a_lo + a_hi), a_lo + 1.0)
+        f_lo = dphi_fn(a_lo[None])[0]
+        f_mid = dphi_fn(mid[None])[0]
+        slope = (f_mid - f_lo) / jnp.maximum(mid - a_lo, 1e-30)
+        slope = jnp.maximum(slope, 1e-12)
+        alpha = a_lo - f_lo / slope
+        # descent safeguard (phi'(0) < 0 guarantees a positive step)
+        alpha = jnp.maximum(alpha, 0.0)
 
         x = x + alpha * dx
 
