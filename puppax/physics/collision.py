@@ -79,7 +79,8 @@ def _combine(m: RobotModel, g1: int, g2: int):
     tangential = jnp.stack([friction[0], friction[0]])
     solref = 0.5 * (m.geom_solref[g1] + m.geom_solref[g2])
     solimp = 0.5 * (m.geom_solimp[g1] + m.geom_solimp[g2])
-    b1, b2 = m.geom_bodyid[g1], m.geom_bodyid[g2]
+    geom_bodyid = jnp.asarray(m.geom_bodyid, jnp.int32)
+    b1, b2 = geom_bodyid[g1], geom_bodyid[g2]
     invweight = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
     return tangential.astype(solref.dtype), solref, solimp, invweight
 
@@ -162,35 +163,25 @@ def collide(m: RobotModel, kin: Kinematics) -> Contacts:
     ):
         if not pairs:
             continue
-        dists, poss, frames, fris, srefs, simps, iws, g1s, g2s, b1s, b2s = (
-            [], [], [], [], [], [], [], [], [], [], []
+        g1_arr = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        g2_arr = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        dist, pos, frame = jax.vmap(lambda a, b: fn(m, kin, a, b))(g1_arr, g2_arr)
+        fri, sref, simp, iw = jax.vmap(lambda a, b: _combine(m, a, b))(
+            g1_arr, g2_arr
         )
-        for g1, g2 in pairs:
-            dist, pos, frame = fn(m, kin, g1, g2)
-            fri, sref, simp, iw = _combine(m, g1, g2)
-            dists.append(dist)
-            poss.append(pos)
-            frames.append(frame)
-            fris.append(fri)
-            srefs.append(sref)
-            simps.append(simp)
-            iws.append(iw)
-            g1s.append(g1)
-            g2s.append(g2)
-            b1s.append(m.geom_bodyid[g1])
-            b2s.append(m.geom_bodyid[g2])
+        geom_bodyid = jnp.asarray(m.geom_bodyid, jnp.int32)
         group = (
-            jnp.stack(dists),
-            jnp.stack(poss),
-            jnp.stack(frames),
-            jnp.stack(fris),
-            jnp.stack(srefs),
-            jnp.stack(simps),
-            jnp.stack(iws),
-            jnp.asarray(g1s, jnp.int32),
-            jnp.asarray(g2s, jnp.int32),
-            jnp.asarray(b1s, jnp.int32),
-            jnp.asarray(b2s, jnp.int32),
+            dist,
+            pos,
+            frame,
+            fri,
+            sref,
+            simp,
+            iw,
+            g1_arr,
+            g2_arr,
+            geom_bodyid[g1_arr],
+            geom_bodyid[g2_arr],
         )
         # per-type pair cap (reference MJX max_geom_pairs semantics)
         groups.append(_top_k_mask_concat(group, m.max_geom_pairs))

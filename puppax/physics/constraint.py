@@ -4,7 +4,7 @@ Builds the fixed-shape constraint system the Newton solver consumes:
 Jacobian J (nefc, nv), reference acceleration aref, inverse-impedance D,
 friction-loss bounds, and row types. Formulas reproduce MuJoCo's
 constraint model (verified row-for-row against mjData.efc_* in
-tests/test_physics_constraint.py):
+tests/test_physics_oracle.py):
 
   impedance d(pos):  smoothstep sigmoid of |pos|/width between dmin..dmax
   K = 1 / (dmax^2 * timeconst^2 * dampratio^2),  B = 2 / (dmax * timeconst)
@@ -17,15 +17,18 @@ Contact rows use the pyramidal cone (condim 3 -> 4 facets per contact,
 directions n ± mu_i t_i), matching the reference model's
 cone="pyramidal" impratio="10" (/root/reference/test/test_pupper_model.xml:57).
 
-Fixed shapes: all rows always exist; separated contacts / far-from-limit
-joints are naturally inactive in the solver (jar > 0), mirroring MJX's
-fixed-shape constraint instantiation rather than MuJoCo C's dynamic nefc.
+Fixed shapes, fully vectorized: friction/limit rows use static gather
+indices, contact rows are vmapped over the fixed-size contact buffer.
+All rows always exist; rows MuJoCo C would not instantiate (separated
+contacts, unviolated limits) are masked out via D = 0 (MJX-style).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,10 +37,6 @@ from puppax.physics.collision import Contacts
 from puppax.physics.smooth import ComQuantities
 
 _MINVAL = 1e-15
-
-# row types
-TYPE_FRICTION = 1  # bounded (Huber) rows
-TYPE_ONESIDED = 2  # limits + contact facets: active iff jar < 0
 
 
 class EfcData(NamedTuple):
@@ -60,14 +59,12 @@ def impedance(solimp: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
         solimp[..., 4],
     )
     x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, _MINVAL), 0.0, 1.0)
-    # two-sided power sigmoid through (mid, mid-value)
     a = 1.0 / jnp.power(jnp.maximum(mid, _MINVAL), power - 1.0)
     b = 1.0 / jnp.power(jnp.maximum(1.0 - mid, _MINVAL), power - 1.0)
     y_lo = a * jnp.power(x, power)
     y_hi = 1.0 - b * jnp.power(1.0 - x, power)
     y = jnp.where(x < mid, y_lo, y_hi)
-    d = dmin + y * (dmax - dmin)
-    return jnp.clip(d, 1e-4, 0.9999)
+    return jnp.clip(dmin + y * (dmax - dmin), 1e-4, 0.9999)
 
 
 def _kb(solref: jnp.ndarray, solimp: jnp.ndarray):
@@ -78,7 +75,6 @@ def _kb(solref: jnp.ndarray, solimp: jnp.ndarray):
         dmax * dmax * timeconst * timeconst * dampratio * dampratio, _MINVAL
     )
     b_std = 2.0 / jnp.maximum(dmax * timeconst, _MINVAL)
-    # direct form: solref = (-stiffness, -damping)
     k_dir = -solref[..., 0] / jnp.maximum(dmax * dmax, _MINVAL)
     b_dir = -solref[..., 1] / jnp.maximum(dmax, _MINVAL)
     direct = (solref[..., 0] <= 0) | (solref[..., 1] <= 0)
@@ -86,14 +82,8 @@ def _kb(solref: jnp.ndarray, solimp: jnp.ndarray):
 
 
 def _row(solref, solimp, pos, jvel, r_scale, enable=None):
-    """Common per-row quantities (aref, D, R) given raw r scale.
-
-    ``enable`` masks the row out (D = 0) when the constraint is not
-    instantiated: MuJoCo C only creates contact rows when dist < margin and
-    limit rows when violated. With fixed shapes we keep the row but zero
-    its D (MJX-style), removing it from cost/gradient/Hessian — otherwise
-    a separated contact could spuriously activate under large qacc.
-    """
+    """Per-row (aref, D, R); ``enable=False`` masks the row out via D=0
+    (MuJoCo C would not instantiate it; see module docstring)."""
     d = impedance(solimp, pos)
     K, B = _kb(solref, solimp)
     aref = -d * K * pos - B * jvel
@@ -105,22 +95,50 @@ def _row(solref, solimp, pos, jvel, r_scale, enable=None):
     return aref, D, R
 
 
-def _point_jacobian_tables(m: RobotModel):
-    """Static (nbody, nv) ancestor-dof masks + rootid table (host-side)."""
-    body_dofs = [[] for _ in range(m.nbody)]
-    for j in range(m.njnt):
-        b = m.jnt_bodyid[j]
-        d0 = m.jnt_dofadr[j]
-        n = 6 if m.jnt_type[j] == JNT_FREE else 1
+@functools.lru_cache(maxsize=None)
+def _static_tables(nbody, nv, njnt, body_parentid, jnt_bodyid, jnt_dofadr,
+                   jnt_type, body_rootid, dof_frictional, jnt_limited,
+                   jnt_qposadr):
+    """Host-side static index tables (cached on topology)."""
+    body_dofs = [[] for _ in range(nbody)]
+    for j in range(njnt):
+        b = jnt_bodyid[j]
+        d0 = jnt_dofadr[j]
+        n = 6 if jnt_type[j] == JNT_FREE else 1
         body_dofs[b].extend(range(d0, d0 + n))
-    mask = np.zeros((m.nbody, m.nv), dtype=np.float32)
-    for i in range(1, m.nbody):
+    mask = np.zeros((nbody, nv), dtype=np.float32)
+    for i in range(1, nbody):
         b = i
         while b != 0:
             for dof in body_dofs[b]:
                 mask[i, dof] = 1.0
-            b = m.body_parentid[b]
-    return mask, np.asarray(m.body_rootid, dtype=np.int32)
+            b = body_parentid[b]
+    fd = np.asarray(dof_frictional, dtype=np.int32)
+    fric_onehot = np.zeros((len(fd), nv), dtype=np.float32)
+    fric_onehot[np.arange(len(fd)), fd] = 1.0
+    lim_j = np.asarray([j for j in range(njnt) if jnt_limited[j]], dtype=np.int32)
+    lim_qadr = np.asarray([jnt_qposadr[j] for j in lim_j], dtype=np.int32)
+    lim_dadr = np.asarray([jnt_dofadr[j] for j in lim_j], dtype=np.int32)
+    lim_onehot = np.zeros((len(lim_j), nv), dtype=np.float32)
+    lim_onehot[np.arange(len(lim_j)), lim_dadr] = 1.0
+    return (
+        mask,
+        np.asarray(body_rootid, dtype=np.int32),
+        fd,
+        fric_onehot,
+        lim_j,
+        lim_qadr,
+        lim_dadr,
+        lim_onehot,
+    )
+
+
+def _tables(m: RobotModel):
+    return _static_tables(
+        m.nbody, m.nv, m.njnt, m.body_parentid, m.jnt_bodyid, m.jnt_dofadr,
+        m.jnt_type, m.body_rootid, m.dof_frictional, m.jnt_limited,
+        m.jnt_qposadr,
+    )
 
 
 def contact_point_jacobian(
@@ -130,11 +148,10 @@ def contact_point_jacobian(
     body: jnp.ndarray,
 ) -> jnp.ndarray:
     """Translational Jacobian (3, nv) of a world point on a (dynamic) body."""
-    mask_table, rootid_table = _point_jacobian_tables(m)
+    mask_table, rootid_table = _tables(m)[:2]
     mask = jnp.asarray(mask_table, com.cdof.dtype)[body]  # (nv,)
     root = jnp.asarray(rootid_table)[body]
     offset = point - com.subtree_com[root]  # (3,)
-    # J[:, dof] = cdof_lin + cdof_ang x offset, masked to ancestor dofs
     jac = com.cdof[:, 3:] + jnp.cross(com.cdof[:, :3], offset[None, :])
     return (jac * mask[:, None]).T  # (3, nv)
 
@@ -147,102 +164,105 @@ def make_efc(
     contacts: Contacts,
 ) -> EfcData:
     dtype = qvel.dtype
-    Js, arefs, Ds, Rs, flosses, is_frics, poss = [], [], [], [], [], [], []
+    (_, _, fd, fric_onehot, lim_j, lim_qadr, lim_dadr, lim_onehot) = _tables(m)
+    fd = jnp.asarray(fd)
+    lim_jx = jnp.asarray(lim_j)
+    lim_qadr = jnp.asarray(lim_qadr)
+    lim_dadr = jnp.asarray(lim_dadr)
 
-    # ---- dof friction-loss rows (static set) ----
-    for d in m.dof_frictional:
-        J = jnp.zeros(m.nv, dtype).at[d].set(1.0)
-        pos = jnp.zeros((), dtype)
-        jvel = qvel[d]
-        aref, D, R = _row(
-            m.dof_solref[d], m.dof_solimp[d], pos, jvel, m.dof_invweight0[d]
-        )
-        Js.append(J)
-        arefs.append(aref)
-        Ds.append(D)
-        Rs.append(R)
-        flosses.append(m.dof_frictionloss[d])
-        is_frics.append(True)
-        poss.append(pos)
+    # ---- dof friction-loss rows (always instantiated) ----
+    J_fric = jnp.asarray(fric_onehot, dtype)
+    pos_fric = jnp.zeros(fd.shape[0], dtype)
+    jvel_fric = qvel[fd]
+    aref_f, D_f, R_f = _row(
+        m.dof_solref[fd], m.dof_solimp[fd], pos_fric, jvel_fric, m.dof_invweight0[fd]
+    )
+    floss_f = m.dof_frictionloss[fd]
 
-    # ---- joint limit rows (one per limited hinge; side chosen by distance,
-    # matching mj_instantiateLimit's single active-side row) ----
-    for j in range(m.njnt):
-        if not m.jnt_limited[j]:
-            continue
-        qadr = m.jnt_qposadr[j]
-        dadr = m.jnt_dofadr[j]
-        dist_lo = qpos[qadr] - m.jnt_range[j, 0]
-        dist_hi = m.jnt_range[j, 1] - qpos[qadr]
-        lower_side = dist_lo < dist_hi
-        side = jnp.where(lower_side, 1.0, -1.0).astype(dtype)
-        dist = jnp.where(lower_side, dist_lo, dist_hi)
-        pos = dist - m.jnt_margin[j]
-        J = jnp.zeros(m.nv, dtype).at[dadr].set(side)
-        jvel = side * qvel[dadr]
-        aref, D, R = _row(
-            m.jnt_solref[j],
-            m.jnt_solimp[j],
-            pos,
-            jvel,
-            m.dof_invweight0[dadr],
-            enable=pos < 0,
-        )
-        Js.append(J)
-        arefs.append(aref)
-        Ds.append(D)
-        Rs.append(R)
-        flosses.append(jnp.zeros((), dtype))
-        is_frics.append(False)
-        poss.append(pos)
+    # ---- joint limit rows (one per limited joint; nearest side, active
+    # only when violated — matching mj_instantiateLimit) ----
+    q_l = qpos[lim_qadr]
+    dist_lo = q_l - m.jnt_range[lim_jx, 0]
+    dist_hi = m.jnt_range[lim_jx, 1] - q_l
+    lower_side = dist_lo < dist_hi
+    side = jnp.where(lower_side, 1.0, -1.0).astype(dtype)
+    pos_lim = jnp.where(lower_side, dist_lo, dist_hi) - m.jnt_margin[lim_jx]
+    J_lim = jnp.asarray(lim_onehot, dtype) * side[:, None]
+    jvel_lim = side * qvel[lim_dadr]
+    aref_l, D_l, R_l = _row(
+        m.jnt_solref[lim_jx],
+        m.jnt_solimp[lim_jx],
+        pos_lim,
+        jvel_lim,
+        m.dof_invweight0[lim_dadr],
+        enable=pos_lim < 0,
+    )
 
-    # ---- contact pyramidal rows: 4 facets per (fixed-size) contact ----
-    ncon = contacts.dist.shape[0]
-    for c in range(ncon):
-        point = contacts.pos[c]
-        J2 = contact_point_jacobian(m, com, point, contacts.body2[c])
-        J1 = contact_point_jacobian(m, com, point, contacts.body1[c])
+    # ---- contact pyramidal rows: 4 facets per contact, vmapped ----
+    def one_contact(pos_c, frame_c, fric_c, solref_c, solimp_c, iw_c, b1, b2, pen):
+        J2 = contact_point_jacobian(m, com, pos_c, b2)
+        J1 = contact_point_jacobian(m, com, pos_c, b1)
         Jt = J2 - J1  # (3, nv)
-        n = contacts.frame[c, 0]
-        pen = contacts.dist[c]
-        # inactive padded rows: force dist far positive so rows never activate
-        for t_idx in range(2):
-            t = contacts.frame[c, 1 + t_idx]
-            mu = contacts.friction[c, t_idx]
-            r_scale = (
-                contacts.invweight[c]
-                * 2.0
-                * mu
-                * mu
-                * (1.0 + mu * mu)
-                / m.impratio
-            )
-            for sign in (1.0, -1.0):
-                d_vec = n + sign * mu * t
-                J = d_vec @ Jt  # (nv,)
-                jvel = J @ qvel
-                aref, D, R = _row(
-                    contacts.solref[c],
-                    contacts.solimp[c],
-                    pen,
-                    jvel,
-                    r_scale,
-                    enable=pen < 0,
-                )
-                Js.append(J)
-                arefs.append(aref)
-                Ds.append(D)
-                Rs.append(R)
-                flosses.append(jnp.zeros((), dtype))
-                is_frics.append(False)
-                poss.append(pen)
+        n = frame_c[0]
+        t = frame_c[1:3]  # (2, 3)
+        dirs = jnp.stack(
+            [
+                n + fric_c[0] * t[0],
+                n - fric_c[0] * t[0],
+                n + fric_c[1] * t[1],
+                n - fric_c[1] * t[1],
+            ]
+        )  # (4, 3)
+        J4 = dirs @ Jt  # (4, nv)
+        jvel4 = J4 @ qvel
+        mu2 = fric_c * fric_c  # (2,)
+        r_t = iw_c * 2.0 * mu2 * (1.0 + mu2) / m.impratio  # (2,)
+        r4 = jnp.repeat(r_t, 2)  # facets [t1+, t1-, t2+, t2-]
+        pen4 = jnp.broadcast_to(pen, (4,))
+        aref4, D4, R4 = _row(
+            jnp.broadcast_to(solref_c, (4, 2)),
+            jnp.broadcast_to(solimp_c, (4, 5)),
+            pen4,
+            jvel4,
+            r4,
+            enable=pen4 < 0,
+        )
+        return J4, aref4, D4, R4, pen4
 
+    J_c, aref_c, D_c, R_c, pos_c = jax.vmap(one_contact)(
+        contacts.pos,
+        contacts.frame,
+        contacts.friction,
+        contacts.solref,
+        contacts.solimp,
+        contacts.invweight,
+        contacts.body1,
+        contacts.body2,
+        contacts.dist,
+    )
+    ncon4 = contacts.dist.shape[0] * 4
+    J_c = J_c.reshape(ncon4, m.nv)
+    aref_c = aref_c.reshape(ncon4)
+    D_c = D_c.reshape(ncon4)
+    R_c = R_c.reshape(ncon4)
+    pos_c = pos_c.reshape(ncon4)
+
+    nfl = fd.shape[0]
+    nlim = lim_jx.shape[0]
+    zeros_lim = jnp.zeros(nlim, dtype)
+    zeros_con = jnp.zeros(ncon4, dtype)
     return EfcData(
-        J=jnp.stack(Js),
-        aref=jnp.stack(arefs),
-        D=jnp.stack(Ds),
-        R=jnp.stack(Rs),
-        floss=jnp.stack(flosses),
-        is_friction=jnp.asarray(is_frics),
-        pos=jnp.stack(poss),
+        J=jnp.concatenate([J_fric, J_lim, J_c]),
+        aref=jnp.concatenate([aref_f, aref_l, aref_c]),
+        D=jnp.concatenate([D_f, D_l, D_c]),
+        R=jnp.concatenate([R_f, R_l, R_c]),
+        floss=jnp.concatenate([floss_f, zeros_lim, zeros_con]),
+        is_friction=jnp.concatenate(
+            [
+                jnp.ones(nfl, bool),
+                jnp.zeros(nlim, bool),
+                jnp.zeros(ncon4, bool),
+            ]
+        ),
+        pos=jnp.concatenate([pos_fric, pos_lim, pos_c]),
     )

@@ -17,21 +17,28 @@ from puppax.ops import math
 
 def integrate_pos(m: RobotModel, qpos: jnp.ndarray, qvel: jnp.ndarray, dt) -> jnp.ndarray:
     out = qpos
+    hinge_qadr = [
+        m.jnt_qposadr[j] for j in range(m.njnt) if m.jnt_type[j] == JNT_HINGE
+    ]
+    hinge_dadr = [
+        m.jnt_dofadr[j] for j in range(m.njnt) if m.jnt_type[j] == JNT_HINGE
+    ]
+    if hinge_qadr:
+        qa = jnp.asarray(hinge_qadr, jnp.int32)
+        da = jnp.asarray(hinge_dadr, jnp.int32)
+        out = out.at[qa].set(qpos[qa] + dt * qvel[da])
     for j in range(m.njnt):
+        if m.jnt_type[j] != JNT_FREE:
+            continue
         qadr = m.jnt_qposadr[j]
         dadr = m.jnt_dofadr[j]
-        if m.jnt_type[j] == JNT_FREE:
-            out = out.at[qadr : qadr + 3].set(
-                qpos[qadr : qadr + 3] + dt * qvel[dadr : dadr + 3]
-            )
-            quat = math.quat_integrate(
-                qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
-            )
-            out = out.at[qadr + 3 : qadr + 7].set(quat)
-        elif m.jnt_type[j] == JNT_HINGE:
-            out = out.at[qadr].set(qpos[qadr] + dt * qvel[dadr])
-        else:  # pragma: no cover
-            raise NotImplementedError(m.jnt_type[j])
+        out = out.at[qadr : qadr + 3].set(
+            qpos[qadr : qadr + 3] + dt * qvel[dadr : dadr + 3]
+        )
+        quat = math.quat_integrate(
+            qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
+        )
+        out = out.at[qadr + 3 : qadr + 7].set(quat)
     return out
 
 

@@ -115,12 +115,22 @@ def pipeline_step(
 ) -> PhysicsState:
     """Advance n_substeps physics steps under constant ctrl (one env step).
 
-    Unrolled at trace time (tiny model; unrolling lets XLA fuse across
-    substeps instead of forcing a sequential scan region).
+    The substep loop is a ``lax.scan`` so the (large) forward-dynamics body
+    is traced/compiled once regardless of substep count; XLA still fuses
+    within each body and the env-batch axis carries the parallelism.
     """
-    qpos, qvel = state.qpos, state.qvel
-    qacc, caches = None, None
-    for _ in range(n_substeps):
+
+    def substep(carry, _):
+        qpos, qvel = carry
         qacc, caches = forward(m, qpos, qvel, ctrl)
-        qpos, qvel = integrate.euler(m, qpos, qvel, qacc)
+        qpos_new, qvel_new = integrate.euler(m, qpos, qvel, qacc)
+        return (qpos_new, qvel_new), (qacc, caches)
+
+    (qpos, qvel), (qaccs, caches) = jax.lax.scan(
+        substep, (state.qpos, state.qvel), (), length=n_substeps
+    )
+    # keep the caches of the LAST substep (mjx.step semantics: kinematic
+    # caches lag integration by one substep)
+    last = jax.tree_util.tree_map(lambda x: x[-1], (qaccs, caches))
+    qacc, caches = last
     return _make_state(m, qpos, qvel, qacc, caches)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from puppax.model.mjcf import JNT_FREE, JNT_HINGE, RobotModel
@@ -97,27 +98,18 @@ def kinematics(m: RobotModel, qpos: jnp.ndarray) -> Kinematics:
     for i in range(m.nbody):
         xipos_list.append(xpos[i] + math.rotate(m.body_ipos[i], xquat[i]))
         ximat_list.append(math.quat_to_mat(math.quat_mul(xquat[i], m.body_iquat[i])))
-    site_xpos = jnp.stack(
-        [
-            xpos[m.site_bodyid[s]]
-            + math.rotate(m.site_pos[s], xquat[m.site_bodyid[s]])
-            for s in range(m.nsite)
-        ]
-    ) if m.nsite else jnp.zeros((0, 3), dtype)
-    geom_xpos = jnp.stack(
-        [
-            xpos[m.geom_bodyid[g]]
-            + math.rotate(m.geom_pos[g], xquat[m.geom_bodyid[g]])
-            for g in range(m.ngeom)
-        ]
-    )
-    geom_xmat = jnp.stack(
-        [
-            math.quat_to_mat(
-                math.quat_mul(xquat[m.geom_bodyid[g]], m.geom_quat[g])
-            )
-            for g in range(m.ngeom)
-        ]
+    # sites/geoms: vectorized gather + batched quaternion ops
+    site_bodyid = jnp.asarray(m.site_bodyid, jnp.int32)
+    geom_bodyid = jnp.asarray(m.geom_bodyid, jnp.int32)
+    if m.nsite:
+        sq = xquat[site_bodyid]
+        site_xpos = xpos[site_bodyid] + jax.vmap(math.rotate)(m.site_pos, sq)
+    else:
+        site_xpos = jnp.zeros((0, 3), dtype)
+    gq = xquat[geom_bodyid]
+    geom_xpos = xpos[geom_bodyid] + jax.vmap(math.rotate)(m.geom_pos, gq)
+    geom_xmat = jax.vmap(math.quat_to_mat)(
+        jax.vmap(math.quat_mul)(gq, m.geom_quat)
     )
     return Kinematics(
         xpos=xpos,
@@ -240,29 +232,60 @@ def _ancestor_dofs(m: RobotModel):
     return chains
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _crb_masks(nbody, nv, body_parentid, body_jntid, jnt_type, jnt_dofadr, jnt_bodyid, njnt):
+    """Static CRB fill masks: per-dof body index and lower-triangular
+    ancestor-pair mask anc[j, k] = 1 iff dof k is an ancestor-or-self dof
+    of dof j's body and k <= j (host-side, hashable args for caching)."""
+    import numpy as np
+
+    body_dofs = [[] for _ in range(nbody)]
+    dof_body = np.zeros(nv, dtype=np.int32)
+    for j in range(njnt):
+        b = jnt_bodyid[j]
+        d = jnt_dofadr[j]
+        n = 6 if jnt_type[j] == JNT_FREE else 1
+        for dd in range(d, d + n):
+            body_dofs[b].append(dd)
+            dof_body[dd] = b
+    chains = [[] for _ in range(nbody)]
+    for i in range(1, nbody):
+        chains[i] = chains[body_parentid[i]] + body_dofs[i]
+    anc = np.zeros((nv, nv), dtype=np.float32)
+    for jd in range(nv):
+        for kd in chains[dof_body[jd]]:
+            if kd <= jd:
+                anc[jd, kd] = 1.0
+    return dof_body, anc
+
+
 def crb(m: RobotModel, com: ComQuantities) -> jnp.ndarray:
-    """Dense joint-space inertia matrix via composite rigid body (mj_crb)."""
+    """Dense joint-space inertia matrix via composite rigid body (mj_crb).
+
+    Vectorized fill: F[j] = crb_inertia[body(j)] @ cdof[j]; the lower
+    triangle is anc * (F cdof^T), symmetrized — one (nv,6)x(6,nv) matmul
+    plus static masks instead of per-element scatter (compile- and
+    MXU-friendly).
+    """
     crb_inert = [com.cinert[i] for i in range(m.nbody)]
     for i in range(m.nbody - 1, 0, -1):
         p = m.body_parentid[i]
         if p > 0:
             crb_inert[p] = crb_inert[p] + crb_inert[i]
+    crb_stack = jnp.stack(crb_inert)  # (nbody, 6, 6)
 
-    chains = _ancestor_dofs(m)
-    qM = jnp.zeros((m.nv, m.nv), com.cdof.dtype)
-    for j in range(m.njnt):
-        b = m.jnt_bodyid[j]
-        d = m.jnt_dofadr[j]
-        n = 6 if m.jnt_type[j] == JNT_FREE else 1
-        for jd in range(d, d + n):
-            f = crb_inert[b] @ com.cdof[jd]
-            for kd in chains[b]:
-                if kd > jd:
-                    continue
-                val = jnp.dot(f, com.cdof[kd])
-                qM = qM.at[jd, kd].set(val)
-                qM = qM.at[kd, jd].set(val)
-    qM = qM + jnp.diag(m.dof_armature)
+    dof_body, anc = _crb_masks(
+        m.nbody, m.nv, m.body_parentid, m.body_jntid, m.jnt_type,
+        m.jnt_dofadr, m.jnt_bodyid, m.njnt,
+    )
+    F = jnp.einsum(
+        "jab,jb->ja", crb_stack[jnp.asarray(dof_body)], com.cdof
+    )  # (nv, 6)
+    W = (F @ com.cdof.T) * jnp.asarray(anc, com.cdof.dtype)
+    qM = W + W.T - jnp.diag(jnp.diag(W)) + jnp.diag(m.dof_armature)
     return qM
 
 
@@ -321,24 +344,18 @@ def actuation(
     Reproduces the affine PD servo the reference configures:
     gainprm=[kp,0,0], biasprm=[0,-kp,-kd] => tau = kp (ctrl - q) - kd qd,
     clipped to forcerange (/root/reference/pupperv3_mjx/environment.py:170-174,
-    test_pupper_model.xml:42-43).
+    test_pupper_model.xml:42-43). Vectorized over actuators via static
+    qpos/dof gather indices.
     """
-    qfrc = jnp.zeros(m.nv, qpos.dtype)
-    for u in range(m.nu):
-        j = m.actuator_jntid[u]
-        qadr = m.jnt_qposadr[j]
-        dadr = m.jnt_dofadr[j]
-        length = qpos[qadr]
-        velocity = qvel[dadr]
-        gain = m.actuator_gainprm[u, 0]
-        bias = (
-            m.actuator_biasprm[u, 0]
-            + m.actuator_biasprm[u, 1] * length
-            + m.actuator_biasprm[u, 2] * velocity
-        )
-        force = gain * ctrl[u] + bias
-        force = jnp.clip(
-            force, m.actuator_forcerange[u, 0], m.actuator_forcerange[u, 1]
-        )
-        qfrc = qfrc.at[dadr].add(force)
-    return qfrc
+    qadr = jnp.asarray([m.jnt_qposadr[j] for j in m.actuator_jntid], jnp.int32)
+    dadr = jnp.asarray([m.jnt_dofadr[j] for j in m.actuator_jntid], jnp.int32)
+    length = qpos[qadr]
+    velocity = qvel[dadr]
+    bias = (
+        m.actuator_biasprm[:, 0]
+        + m.actuator_biasprm[:, 1] * length
+        + m.actuator_biasprm[:, 2] * velocity
+    )
+    force = m.actuator_gainprm[:, 0] * ctrl + bias
+    force = jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1])
+    return jnp.zeros(m.nv, qpos.dtype).at[dadr].add(force)

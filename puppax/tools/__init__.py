@@ -1,0 +1,1 @@
+"""puppax.tools — host-side tooling: rendering, metrics logging, plotting."""
