@@ -1,23 +1,29 @@
 """Smooth (unconstrained) dynamics: FK, COM frames, CRB, RNE, actuation.
 
-MuJoCo-semantics forward dynamics pipeline stages, written single-env with
-the (tiny, fixed) body tree unrolled at trace time; ``jax.vmap`` at the
-pipeline layer adds the env-batch axis that carries the TPU parallelism.
+MuJoCo-semantics forward dynamics stages as pure functions of the
+RobotModel pytree. The body tree is processed **level by level** (a cached
+static schedule): all bodies at the same depth — e.g. the four legs' hip /
+upper / lower links — are advanced with one batched quaternion/spatial op
+per level instead of per-body unrolled ops. This cuts the op count ~4x,
+which is what determines both XLA compile time and the per-fusion dispatch
+cost that dominates tiny-model physics; the env batch axis is added by
+``jax.vmap`` on top and carries the TPU parallelism.
 
 Stage-for-stage these reproduce (independently, from the published MuJoCo
 computation model) mj_kinematics, mj_comPos, mj_comVel, mj_crb, mj_rne and
-mj_fwdActuation, which the reference consumed indirectly through
-mjx.forward/mjx.step (/root/reference/pupperv3_mjx/environment.py:319,366).
-Each stage is validated against the mujoco C oracle in
-tests/test_physics_smooth.py.
+mj_fwdActuation, which the reference consumed through mjx.forward/mjx.step
+(/root/reference/pupperv3_mjx/environment.py:319,366). Validated against
+the mujoco C oracle in tests/test_physics_oracle.py.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from puppax.model.mjcf import JNT_FREE, JNT_HINGE, RobotModel
 from puppax.ops import math
@@ -46,78 +52,122 @@ class Velocity(NamedTuple):
     cdof_dot: jnp.ndarray  # (nv, 6)
 
 
-def _axis_angle_quat(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
-    half = 0.5 * angle
-    return jnp.concatenate([jnp.cos(half)[None], axis * jnp.sin(half)])
+class _Level(NamedTuple):
+    kind: str  # 'free' | 'hinge' | 'fixed'
+    bodies: tuple
+    parents: tuple
+    jnts: tuple  # joint ids (empty for 'fixed')
+
+
+@functools.lru_cache(maxsize=None)
+def _schedule(nbody, njnt, body_parentid, body_jntid, jnt_type):
+    """Static level schedule: bodies grouped by tree depth and joint kind."""
+    depth = [0] * nbody
+    for i in range(1, nbody):
+        depth[i] = depth[body_parentid[i]] + 1
+    levels = []
+    for d in range(1, max(depth) + 1 if nbody > 1 else 1):
+        bodies = [i for i in range(1, nbody) if depth[i] == d]
+        groups = {"free": [], "hinge": [], "fixed": []}
+        for i in bodies:
+            j = body_jntid[i]
+            if j == -1:
+                groups["fixed"].append(i)
+            elif jnt_type[j] == JNT_FREE:
+                groups["free"].append(i)
+            elif jnt_type[j] == JNT_HINGE:
+                groups["hinge"].append(i)
+            else:  # pragma: no cover - guarded at model build
+                raise NotImplementedError(jnt_type[j])
+        for kind in ("free", "hinge", "fixed"):
+            if groups[kind]:
+                bs = groups[kind]
+                levels.append(
+                    _Level(
+                        kind=kind,
+                        bodies=tuple(bs),
+                        parents=tuple(body_parentid[i] for i in bs),
+                        jnts=tuple(body_jntid[i] for i in bs),
+                    )
+                )
+    return tuple(levels)
+
+
+def _levels(m: RobotModel):
+    return _schedule(m.nbody, m.njnt, m.body_parentid, m.body_jntid, m.jnt_type)
+
+
+# batched quaternion helpers (leading axis = bodies-in-level)
+_rot = jax.vmap(math.rotate)
+_qmul = jax.vmap(math.quat_mul)
+_qmat = jax.vmap(math.quat_to_mat)
 
 
 def kinematics(m: RobotModel, qpos: jnp.ndarray) -> Kinematics:
-    """Forward kinematics over the fixed body tree (unrolled at trace)."""
+    """Forward kinematics, level-scheduled over the fixed body tree."""
     dtype = qpos.dtype
-    xpos = [jnp.zeros(3, dtype)]
-    xquat = [jnp.array([1.0, 0.0, 0.0, 0.0], dtype)]
-    xanchor = [None] * m.njnt
-    xaxis = [None] * m.njnt
+    xpos = jnp.zeros((m.nbody, 3), dtype)
+    xquat = jnp.zeros((m.nbody, 4), dtype).at[0, 0].set(1.0)
+    xanchor = jnp.zeros((m.njnt, 3), dtype)
+    xaxis = jnp.zeros((m.njnt, 3), dtype)
 
-    for i in range(1, m.nbody):
-        p = m.body_parentid[i]
-        frame_pos = xpos[p] + math.rotate(m.body_pos[i], xquat[p])
-        frame_quat = math.quat_mul(xquat[p], m.body_quat[i])
-        j = m.body_jntid[i]
-        if j == -1:
-            xpos.append(frame_pos)
-            xquat.append(frame_quat)
+    for lv in _levels(m):
+        b = jnp.asarray(lv.bodies)
+        p = jnp.asarray(lv.parents)
+        if lv.kind == "free":
+            for body, j in zip(lv.bodies, lv.jnts):
+                qadr = m.jnt_qposadr[j]
+                pos = qpos[qadr : qadr + 3]
+                quat = qpos[qadr + 3 : qadr + 7]
+                quat = quat / jnp.linalg.norm(quat)
+                xpos = xpos.at[body].set(pos)
+                xquat = xquat.at[body].set(quat)
+                xanchor = xanchor.at[j].set(pos)
+                xaxis = xaxis.at[j].set(m.jnt_axis[j])  # free axis unrotated
             continue
-        jt = m.jnt_type[j]
-        qadr = m.jnt_qposadr[j]
-        if jt == JNT_FREE:
-            pos = qpos[qadr : qadr + 3]
-            quat = qpos[qadr + 3 : qadr + 7]
-            quat = quat / jnp.linalg.norm(quat)
-            xpos.append(pos)
-            xquat.append(quat)
-            xanchor[j] = pos
-            xaxis[j] = m.jnt_axis[j]  # free joint axis is never rotated
-        elif jt == JNT_HINGE:
-            angle = qpos[qadr] - m.qpos0[qadr]
-            qloc = _axis_angle_quat(m.jnt_axis[j], angle)
-            quat = math.quat_mul(frame_quat, qloc)
-            anchor = frame_pos + math.rotate(m.jnt_pos[j], frame_quat)
-            pos = anchor - math.rotate(m.jnt_pos[j], quat)
-            xpos.append(pos)
-            xquat.append(quat)
-            xanchor[j] = anchor
-            xaxis[j] = math.rotate(m.jnt_axis[j], quat)
-        else:  # pragma: no cover - guarded at model build
-            raise NotImplementedError(jt)
+        pq = xquat[p]
+        frame_pos = xpos[p] + _rot(m.body_pos[b], pq)
+        frame_quat = _qmul(pq, m.body_quat[b])
+        if lv.kind == "fixed":
+            xpos = xpos.at[b].set(frame_pos)
+            xquat = xquat.at[b].set(frame_quat)
+            continue
+        # hinge group
+        jj = jnp.asarray(lv.jnts)
+        qadr = jnp.asarray([m.jnt_qposadr[j] for j in lv.jnts])
+        angle = qpos[qadr] - m.qpos0[qadr]
+        axis = m.jnt_axis[jj]
+        half = 0.5 * angle
+        qloc = jnp.concatenate(
+            [jnp.cos(half)[:, None], axis * jnp.sin(half)[:, None]], axis=1
+        )
+        quat = _qmul(frame_quat, qloc)
+        anchor = frame_pos + _rot(m.jnt_pos[jj], frame_quat)
+        pos = anchor - _rot(m.jnt_pos[jj], quat)
+        xpos = xpos.at[b].set(pos)
+        xquat = xquat.at[b].set(quat)
+        xanchor = xanchor.at[jj].set(anchor)
+        xaxis = xaxis.at[jj].set(_rot(m.jnt_axis[jj], quat))
 
-    xpos = jnp.stack(xpos)
-    xquat = jnp.stack(xquat)
-    ximat_list = []
-    xipos_list = []
-    for i in range(m.nbody):
-        xipos_list.append(xpos[i] + math.rotate(m.body_ipos[i], xquat[i]))
-        ximat_list.append(math.quat_to_mat(math.quat_mul(xquat[i], m.body_iquat[i])))
-    # sites/geoms: vectorized gather + batched quaternion ops
+    # inertial / site / geom frames: one batched op each
+    xipos = xpos + _rot(m.body_ipos, xquat)
+    ximat = _qmat(_qmul(xquat, m.body_iquat))
     site_bodyid = jnp.asarray(m.site_bodyid, jnp.int32)
     geom_bodyid = jnp.asarray(m.geom_bodyid, jnp.int32)
     if m.nsite:
-        sq = xquat[site_bodyid]
-        site_xpos = xpos[site_bodyid] + jax.vmap(math.rotate)(m.site_pos, sq)
+        site_xpos = xpos[site_bodyid] + _rot(m.site_pos, xquat[site_bodyid])
     else:
         site_xpos = jnp.zeros((0, 3), dtype)
     gq = xquat[geom_bodyid]
-    geom_xpos = xpos[geom_bodyid] + jax.vmap(math.rotate)(m.geom_pos, gq)
-    geom_xmat = jax.vmap(math.quat_to_mat)(
-        jax.vmap(math.quat_mul)(gq, m.geom_quat)
-    )
+    geom_xpos = xpos[geom_bodyid] + _rot(m.geom_pos, gq)
+    geom_xmat = _qmat(_qmul(gq, m.geom_quat))
     return Kinematics(
         xpos=xpos,
         xquat=xquat,
-        xipos=jnp.stack(xipos_list),
-        ximat=jnp.stack(ximat_list),
-        xanchor=jnp.stack(xanchor) if m.njnt else jnp.zeros((0, 3), dtype),
-        xaxis=jnp.stack(xaxis) if m.njnt else jnp.zeros((0, 3), dtype),
+        xipos=xipos,
+        ximat=ximat,
+        xanchor=xanchor,
+        xaxis=xaxis,
         site_xpos=site_xpos,
         geom_xpos=geom_xpos,
         geom_xmat=geom_xmat,
@@ -127,121 +177,97 @@ def kinematics(m: RobotModel, qpos: jnp.ndarray) -> Kinematics:
 def com_pos(m: RobotModel, kin: Kinematics) -> ComQuantities:
     """Subtree COMs, com-frame spatial inertias and dof axes (mj_comPos)."""
     dtype = kin.xpos.dtype
-    # subtree mass and com via reverse accumulation
-    mass = [m.body_mass[i] for i in range(m.nbody)]
-    mom = [m.body_mass[i] * kin.xipos[i] for i in range(m.nbody)]
-    subtree_mass = list(mass)
-    subtree_mom = list(mom)
-    for i in range(m.nbody - 1, 0, -1):
-        p = m.body_parentid[i]
-        subtree_mass[p] = subtree_mass[p] + subtree_mass[i]
-        subtree_mom[p] = subtree_mom[p] + subtree_mom[i]
-    subtree_com = jnp.stack(
-        [
-            subtree_mom[i] / jnp.maximum(subtree_mass[i], 1e-12)
-            for i in range(m.nbody)
-        ]
+    # subtree mass/moment via reverse level-wise scatter-add
+    subtree_mass = m.body_mass
+    subtree_mom = m.body_mass[:, None] * kin.xipos
+    for lv in reversed(_levels(m)):
+        b = jnp.asarray(lv.bodies)
+        p = jnp.asarray(lv.parents)
+        subtree_mass = subtree_mass.at[p].add(subtree_mass[b])
+        subtree_mom = subtree_mom.at[p].add(subtree_mom[b])
+    subtree_com = subtree_mom / jnp.maximum(subtree_mass, 1e-12)[:, None]
+
+    # spatial inertia of each body about its kinematic-tree-root com
+    rootid = jnp.asarray(m.body_rootid, jnp.int32)
+    offset = kin.xipos - subtree_com[rootid]
+    cinert = jax.vmap(math.transform_inertia)(
+        m.body_mass, m.body_inertia, offset, kin.ximat
     )
 
-    # spatial inertia of each body about the com of its kinematic tree root
-    cinert = []
-    for i in range(m.nbody):
-        root = m.body_rootid[i]
-        offset = kin.xipos[i] - subtree_com[root]
-        cinert.append(
-            math.transform_inertia(
-                m.body_mass[i], m.body_inertia[i], offset, kin.ximat[i]
+    # dof axes about the root com
+    cdof = jnp.zeros((m.nv, 6), dtype)
+    hinge_j = [j for j in range(m.njnt) if m.jnt_type[j] == JNT_HINGE]
+    if hinge_j:
+        jj = jnp.asarray(hinge_j)
+        dadr = jnp.asarray([m.jnt_dofadr[j] for j in hinge_j])
+        bb = jnp.asarray([m.jnt_bodyid[j] for j in hinge_j])
+        com_r = subtree_com[rootid[bb]]
+        ax = kin.xaxis[jj]
+        off = com_r - kin.xanchor[jj]
+        cdof = cdof.at[dadr].set(
+            jnp.concatenate([ax, jnp.cross(ax, off)], axis=1)
+        )
+    for j in range(m.njnt):
+        if m.jnt_type[j] != JNT_FREE:
+            continue
+        b = m.jnt_bodyid[j]
+        d = m.jnt_dofadr[j]
+        com_r = subtree_com[m.body_rootid[b]]
+        eye3 = jnp.eye(3, dtype=dtype)
+        cdof = cdof.at[d : d + 3].set(
+            jnp.concatenate([jnp.zeros((3, 3), dtype), eye3], axis=1)
+        )
+        R = math.quat_to_mat(kin.xquat[b])  # columns = body axes in world
+        axes = R.T  # rows
+        off = com_r - kin.xanchor[j]
+        cdof = cdof.at[d + 3 : d + 6].set(
+            jnp.concatenate(
+                [axes, jnp.cross(axes, off[None, :])], axis=1
             )
         )
-    cinert = jnp.stack(cinert)
-
-    # dof motion axes referenced at the root-subtree com
-    cdof = [None] * m.nv
-    for j in range(m.njnt):
-        b = m.jnt_bodyid[j]
-        root = m.body_rootid[b]
-        com = subtree_com[root]
-        d = m.jnt_dofadr[j]
-        if m.jnt_type[j] == JNT_FREE:
-            # translation: world axes; rotation: body-frame axes through
-            # the body frame origin
-            for k in range(3):
-                e = jnp.zeros(3, dtype).at[k].set(1.0)
-                cdof[d + k] = jnp.concatenate([jnp.zeros(3, dtype), e])
-            R = math.quat_to_mat(kin.xquat[b])
-            offset = com - kin.xanchor[j]
-            for k in range(3):
-                ax = R[:, k]
-                cdof[d + 3 + k] = jnp.concatenate(
-                    [ax, jnp.cross(ax, offset)]
-                )
-        else:  # hinge
-            ax = kin.xaxis[j]
-            offset = com - kin.xanchor[j]
-            cdof[d] = jnp.concatenate([ax, jnp.cross(ax, offset)])
-    cdof = (
-        jnp.stack(cdof) if m.nv else jnp.zeros((0, 6), dtype)
-    )
     return ComQuantities(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
 
 
 def com_vel(m: RobotModel, com: ComQuantities, qvel: jnp.ndarray) -> Velocity:
-    """Body spatial velocities and dof-axis time derivatives (mj_comVel)."""
+    """Body spatial velocities and dof-axis derivatives (mj_comVel),
+    level-scheduled."""
     dtype = qvel.dtype
-    cvel = [jnp.zeros(6, dtype)]
-    cdof_dot = [None] * m.nv
-    for i in range(1, m.nbody):
-        p = m.body_parentid[i]
-        v = cvel[p]
-        j = m.body_jntid[i]
-        if j != -1:
+    cvel = jnp.zeros((m.nbody, 6), dtype)
+    cdof_dot = jnp.zeros((m.nv, 6), dtype)
+    for lv in _levels(m):
+        b = jnp.asarray(lv.bodies)
+        p = jnp.asarray(lv.parents)
+        v_parent = cvel[p]
+        if lv.kind == "fixed":
+            cvel = cvel.at[b].set(v_parent)
+            continue
+        if lv.kind == "hinge":
+            dadr = jnp.asarray([m.jnt_dofadr[j] for j in lv.jnts])
+            cd = com.cdof[dadr]  # (k, 6)
+            cdd = jax.vmap(math.motion_cross)(v_parent, cd)
+            cdof_dot = cdof_dot.at[dadr].set(cdd)
+            cvel = cvel.at[b].set(v_parent + cd * qvel[dadr][:, None])
+            continue
+        # free joints (one body at a time; usually exactly one)
+        for body, j in zip(lv.bodies, lv.jnts):
             d = m.jnt_dofadr[j]
-            if m.jnt_type[j] == JNT_FREE:
-                # translations: cdof_dot = 0 (world axes), accumulate first
-                for k in range(3):
-                    cdof_dot[d + k] = jnp.zeros(6, dtype)
-                v_trans = v + com.cdof[d : d + 3].T @ qvel[d : d + 3]
-                # rotations: cdof_dot = v x cdof with v including translations
-                for k in range(3):
-                    cdof_dot[d + 3 + k] = math.motion_cross(
-                        v_trans, com.cdof[d + 3 + k]
-                    )
-                v = v_trans + com.cdof[d + 3 : d + 6].T @ qvel[d + 3 : d + 6]
-            else:  # hinge
-                cdof_dot[d] = math.motion_cross(v, com.cdof[d])
-                v = v + com.cdof[d] * qvel[d]
-        cvel.append(v)
-    return Velocity(
-        cvel=jnp.stack(cvel),
-        cdof_dot=jnp.stack(cdof_dot) if m.nv else jnp.zeros((0, 6), dtype),
-    )
-
-
-def _ancestor_dofs(m: RobotModel):
-    """Static per-body lists of ancestor dof indices (incl. own)."""
-    body_dofs = [[] for _ in range(m.nbody)]
-    for j in range(m.njnt):
-        b = m.jnt_bodyid[j]
-        d = m.jnt_dofadr[j]
-        n = 6 if m.jnt_type[j] == JNT_FREE else 1
-        body_dofs[b].extend(range(d, d + n))
-    chains = [[]] * m.nbody
-    chains[0] = []
-    for i in range(1, m.nbody):
-        chains[i] = chains[m.body_parentid[i]] + body_dofs[i]
-    return chains
-
-
-import functools
+            v = cvel[m.body_parentid[body]]
+            v_trans = v + com.cdof[d : d + 3].T @ qvel[d : d + 3]
+            cdd = jax.vmap(math.motion_cross, in_axes=(None, 0))(
+                v_trans, com.cdof[d + 3 : d + 6]
+            )
+            cdof_dot = cdof_dot.at[d + 3 : d + 6].set(cdd)
+            v_full = v_trans + com.cdof[d + 3 : d + 6].T @ qvel[d + 3 : d + 6]
+            cvel = cvel.at[body].set(v_full)
+    return Velocity(cvel=cvel, cdof_dot=cdof_dot)
 
 
 @functools.lru_cache(maxsize=None)
-def _crb_masks(nbody, nv, body_parentid, body_jntid, jnt_type, jnt_dofadr, jnt_bodyid, njnt):
+def _crb_masks(nbody, nv, body_parentid, body_jntid, jnt_type, jnt_dofadr,
+               jnt_bodyid, njnt):
     """Static CRB fill masks: per-dof body index and lower-triangular
     ancestor-pair mask anc[j, k] = 1 iff dof k is an ancestor-or-self dof
-    of dof j's body and k <= j (host-side, hashable args for caching)."""
-    import numpy as np
-
+    of dof j's body and k <= j."""
     body_dofs = [[] for _ in range(nbody)]
     dof_body = np.zeros(nv, dtype=np.int32)
     for j in range(njnt):
@@ -265,28 +291,23 @@ def _crb_masks(nbody, nv, body_parentid, body_jntid, jnt_type, jnt_dofadr, jnt_b
 def crb(m: RobotModel, com: ComQuantities) -> jnp.ndarray:
     """Dense joint-space inertia matrix via composite rigid body (mj_crb).
 
-    Vectorized fill: F[j] = crb_inertia[body(j)] @ cdof[j]; the lower
-    triangle is anc * (F cdof^T), symmetrized — one (nv,6)x(6,nv) matmul
-    plus static masks instead of per-element scatter (compile- and
-    MXU-friendly).
+    F[j] = crb_inertia[body(j)] @ cdof[j]; lower triangle = anc * (F cdof^T),
+    symmetrized — one (nv,6)x(6,nv) matmul plus static masks.
     """
-    crb_inert = [com.cinert[i] for i in range(m.nbody)]
-    for i in range(m.nbody - 1, 0, -1):
-        p = m.body_parentid[i]
-        if p > 0:
-            crb_inert[p] = crb_inert[p] + crb_inert[i]
-    crb_stack = jnp.stack(crb_inert)  # (nbody, 6, 6)
+    crb_inert = com.cinert
+    for lv in reversed(_levels(m)):
+        b = jnp.asarray(lv.bodies)
+        p = jnp.asarray(lv.parents)
+        add = jnp.where((p > 0)[:, None, None], crb_inert[b], 0.0)
+        crb_inert = crb_inert.at[p].add(add)
 
     dof_body, anc = _crb_masks(
         m.nbody, m.nv, m.body_parentid, m.body_jntid, m.jnt_type,
         m.jnt_dofadr, m.jnt_bodyid, m.njnt,
     )
-    F = jnp.einsum(
-        "jab,jb->ja", crb_stack[jnp.asarray(dof_body)], com.cdof
-    )  # (nv, 6)
+    F = jnp.einsum("jab,jb->ja", crb_inert[jnp.asarray(dof_body)], com.cdof)
     W = (F @ com.cdof.T) * jnp.asarray(anc, com.cdof.dtype)
-    qM = W + W.T - jnp.diag(jnp.diag(W)) + jnp.diag(m.dof_armature)
-    return qM
+    return W + W.T - jnp.diag(jnp.diag(W)) + jnp.diag(m.dof_armature)
 
 
 def rne(
@@ -295,39 +316,50 @@ def rne(
     vel: Velocity,
     qvel: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Bias forces C(q, qvel) including gravity (mj_rne with flg_acc=0)."""
+    """Bias forces C(q, qvel) including gravity (mj_rne, flg_acc=0),
+    level-scheduled forward/backward passes."""
     dtype = qvel.dtype
-    # gravity enters as a fictitious base acceleration
-    cacc = [jnp.concatenate([jnp.zeros(3, dtype), -m.gravity.astype(dtype)])]
-    for i in range(1, m.nbody):
-        p = m.body_parentid[i]
+    cacc = jnp.zeros((m.nbody, 6), dtype)
+    cacc = cacc.at[0, 3:].set(-m.gravity.astype(dtype))
+    for lv in _levels(m):
+        b = jnp.asarray(lv.bodies)
+        p = jnp.asarray(lv.parents)
         a = cacc[p]
-        j = m.body_jntid[i]
-        if j != -1:
-            d = m.jnt_dofadr[j]
-            n = 6 if m.jnt_type[j] == JNT_FREE else 1
-            a = a + vel.cdof_dot[d : d + n].T @ qvel[d : d + n]
-        cacc.append(a)
+        if lv.kind == "hinge":
+            dadr = jnp.asarray([m.jnt_dofadr[j] for j in lv.jnts])
+            a = a + vel.cdof_dot[dadr] * qvel[dadr][:, None]
+        elif lv.kind == "free":
+            for idx, (body, j) in enumerate(zip(lv.bodies, lv.jnts)):
+                d = m.jnt_dofadr[j]
+                extra = vel.cdof_dot[d : d + 6].T @ qvel[d : d + 6]
+                a = a.at[idx].add(extra)
+        cacc = cacc.at[b].set(a)
 
-    cfrc = [jnp.zeros(6, dtype)]
-    for i in range(1, m.nbody):
-        Iv = com.cinert[i] @ vel.cvel[i]
-        f = com.cinert[i] @ cacc[i] + math.motion_cross_force(vel.cvel[i], Iv)
-        cfrc.append(f)
-    # backward accumulation
-    total = list(cfrc)
-    for i in range(m.nbody - 1, 0, -1):
-        p = m.body_parentid[i]
-        if p > 0:
-            total[p] = total[p] + total[i]
+    # per-body forces: I a + v x* (I v), batched over all bodies
+    Iv = jnp.einsum("bij,bj->bi", com.cinert, vel.cvel)
+    Ia = jnp.einsum("bij,bj->bi", com.cinert, cacc)
+    cfrc = Ia + jax.vmap(math.motion_cross_force)(vel.cvel, Iv)
+    total = cfrc
+    for lv in reversed(_levels(m)):
+        b = jnp.asarray(lv.bodies)
+        p = jnp.asarray(lv.parents)
+        add = jnp.where((p > 0)[:, None], total[b], 0.0)
+        total = total.at[p].add(add)
 
     qfrc_bias = jnp.zeros(m.nv, dtype)
+    hinge_j = [j for j in range(m.njnt) if m.jnt_type[j] == JNT_HINGE]
+    if hinge_j:
+        dadr = jnp.asarray([m.jnt_dofadr[j] for j in hinge_j])
+        bb = jnp.asarray([m.jnt_bodyid[j] for j in hinge_j])
+        qfrc_bias = qfrc_bias.at[dadr].set(
+            jnp.sum(com.cdof[dadr] * total[bb], axis=1)
+        )
     for j in range(m.njnt):
-        b = m.jnt_bodyid[j]
+        if m.jnt_type[j] != JNT_FREE:
+            continue
         d = m.jnt_dofadr[j]
-        n = 6 if m.jnt_type[j] == JNT_FREE else 1
-        for jd in range(d, d + n):
-            qfrc_bias = qfrc_bias.at[jd].set(jnp.dot(com.cdof[jd], total[b]))
+        b = m.jnt_bodyid[j]
+        qfrc_bias = qfrc_bias.at[d : d + 6].set(com.cdof[d : d + 6] @ total[b])
     return qfrc_bias
 
 
@@ -344,8 +376,7 @@ def actuation(
     Reproduces the affine PD servo the reference configures:
     gainprm=[kp,0,0], biasprm=[0,-kp,-kd] => tau = kp (ctrl - q) - kd qd,
     clipped to forcerange (/root/reference/pupperv3_mjx/environment.py:170-174,
-    test_pupper_model.xml:42-43). Vectorized over actuators via static
-    qpos/dof gather indices.
+    test_pupper_model.xml:42-43).
     """
     qadr = jnp.asarray([m.jnt_qposadr[j] for j in m.actuator_jntid], jnp.int32)
     dadr = jnp.asarray([m.jnt_dofadr[j] for j in m.actuator_jntid], jnp.int32)
