@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from puppax.model.mjcf import RobotModel
+from puppax.ops import linalg
 from puppax.physics import collision, constraint, integrate, smooth, solver
 
 
@@ -71,8 +72,9 @@ def forward(m: RobotModel, qpos: jnp.ndarray, qvel: jnp.ndarray, ctrl):
     qfrc_actuator = smooth.actuation(m, qpos, qvel, ctrl)
     qfrc_smooth = qfrc_passive + qfrc_actuator - qfrc_bias
 
-    chol = jax.scipy.linalg.cho_factor(qM)
-    qacc_smooth = jax.scipy.linalg.cho_solve(chol, qfrc_smooth)
+    # unrolled small-SPD solve (ops/linalg): ~4x faster than XLA's
+    # generic batched Cholesky on TPU for these tiny systems
+    qacc_smooth = linalg.spd_solve(qM, qfrc_smooth)
 
     contacts = collision.collide(m, kin)
     efc = constraint.make_efc(m, com, qpos, qvel, contacts)

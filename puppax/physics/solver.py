@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from puppax.model.mjcf import RobotModel
+from puppax.ops import linalg
 from puppax.physics.constraint import EfcData
 
 
@@ -62,8 +63,7 @@ def solve(
         # exact Hessian over the active set
         dw = efc.D * quad.astype(dtype)
         H = qM + (efc.J.T * dw[None, :]) @ efc.J
-        chol = jax.scipy.linalg.cho_factor(H)
-        dx = -jax.scipy.linalg.cho_solve(chol, grad)
+        dx = -linalg.spd_solve(H, grad)
 
         # Exact line search. phi(alpha) is convex piecewise quadratic, so
         # phi'(alpha) is increasing piecewise linear:
