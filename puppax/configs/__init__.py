@@ -7,3 +7,13 @@ are frozen dataclasses with defaults mirroring the reference env kwargs
 """
 
 from puppax.configs.rewards import get_config  # noqa: F401
+from puppax.configs.experiment import (  # noqa: F401
+    DomainRandomizationConfig,
+    EnvConfig,
+    ExperimentConfig,
+    TrainConfig,
+    apply_overrides,
+    config_hash,
+    from_dict,
+    to_dict,
+)

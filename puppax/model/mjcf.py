@@ -292,6 +292,11 @@ def load_model(
     """
     if xml_string is not None:
         mj_model = mujoco.MjModel.from_xml_string(xml_string)
+    elif path is None:
+        # default to the bundled physics-equivalent Pupper v3 model
+        from puppax.model import assets
+
+        mj_model = mujoco.MjModel.from_xml_string(assets.pupper_xml())
     else:
         mj_model = mujoco.MjModel.from_xml_path(str(path))
     return CompiledModel(put_model(mj_model, dtype=dtype), mj_model)

@@ -1,1 +1,3 @@
-"""puppax.tools — host-side tooling: rendering, metrics logging, plotting."""
+"""puppax.tools — host-side eval/render/logging/plotting (off the hot path)."""
+
+from puppax.tools.metrics import MetricsLogger, make_progress_fn  # noqa: F401

@@ -1,0 +1,443 @@
+"""PPO learner — mesh-sharded, single jit region per training epoch.
+
+TPU-native replacement for the brax PPO trainer the reference invoked
+(SURVEY §3.4): same algorithm family (clipped surrogate + GAE + running
+obs normalization + entropy bonus, truncation-aware bootstrapping) and the
+same callback/param surface (``progress_fn(step, metrics)``,
+``policy_params_fn(step, make_policy, params)``,
+``randomization_fn(model, rng) -> (batched_model, in_axes)``), but a
+different parallelization design:
+
+* brax ``pmap``s the learner over local devices with explicit ``psum``;
+  here the whole training epoch is ONE ``jit`` region with
+  ``NamedSharding`` annotations over a global ``Mesh(('env',))`` — the env
+  batch is sharded over all chips (ICI within a slice, DCN across), params
+  are replicated, and XLA GSPMD inserts the gradient all-reduce and the
+  minibatch-shuffle collectives. This scales past one host with no code
+  change (``jax.distributed`` + a bigger mesh).
+* rollout, GAE, and the SGD epochs are ``lax.scan``s inside that one jit
+  region — no host round-trips between rollout and update.
+
+Hyperparameter defaults follow the brax PPO defaults the reference
+trained with; the loss coefficients (0.25 value-loss factor, single-sample
+entropy estimate) reproduce its training dynamics.
+"""
+
+from __future__ import annotations
+
+import functools
+import math as pymath
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from puppax.env import wrappers
+from puppax.parallel import mesh as mesh_lib
+from puppax.train import acting, networks as ppo_networks, running_statistics
+from puppax.train.acting import Transition
+
+Metrics = Dict[str, jnp.ndarray]
+
+
+@struct.dataclass
+class TrainingState:
+    optimizer_state: optax.OptState
+    params: ppo_networks.PPONetworkParams
+    normalizer_params: running_statistics.RunningStatisticsState
+    env_steps: jnp.ndarray
+
+
+def compute_gae(
+    truncation: jnp.ndarray,
+    termination: jnp.ndarray,
+    rewards: jnp.ndarray,
+    values: jnp.ndarray,
+    bootstrap_value: jnp.ndarray,
+    lambda_: float,
+    discount: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Truncation-aware Generalized Advantage Estimation over (T, B) data.
+
+    ``termination`` ends the value bootstrap (failure), ``truncation``
+    masks the TD error entirely (episode cut at horizon — the next value
+    belongs to a different episode, so neither bootstrap nor delta apply).
+    Returns (value targets, advantages), both stop-gradiented.
+    """
+    truncation_mask = 1.0 - truncation
+    values_t_plus_1 = jnp.concatenate([values[1:], bootstrap_value[None]], axis=0)
+    deltas = rewards + discount * (1.0 - termination) * values_t_plus_1 - values
+    deltas *= truncation_mask
+
+    def body(acc, xs):
+        delta, term, trunc_mask = xs
+        acc = delta + discount * (1.0 - term) * trunc_mask * lambda_ * acc
+        return acc, acc
+
+    _, vs_minus_v = jax.lax.scan(
+        body,
+        jnp.zeros_like(bootstrap_value),
+        (deltas, termination, truncation_mask),
+        reverse=True,
+    )
+    vs = vs_minus_v + values
+    vs_t_plus_1 = jnp.concatenate([vs[1:], bootstrap_value[None]], axis=0)
+    advantages = (
+        rewards + discount * (1.0 - termination) * vs_t_plus_1 - values
+    ) * truncation_mask
+    return jax.lax.stop_gradient(vs), jax.lax.stop_gradient(advantages)
+
+
+def train(
+    environment,
+    num_timesteps: int,
+    episode_length: int,
+    num_envs: int = 4096,
+    num_eval_envs: int = 128,
+    action_repeat: int = 1,
+    learning_rate: float = 3e-4,
+    entropy_cost: float = 1e-2,
+    discounting: float = 0.97,
+    unroll_length: int = 20,
+    batch_size: int = 256,
+    num_minibatches: int = 32,
+    num_updates_per_batch: int = 4,
+    reward_scaling: float = 1.0,
+    clipping_epsilon: float = 0.3,
+    gae_lambda: float = 0.95,
+    normalize_advantage: bool = True,
+    normalize_observations: bool = True,
+    max_grad_norm: Optional[float] = None,
+    seed: int = 0,
+    num_evals: int = 1,
+    deterministic_eval: bool = False,
+    network_factory: Callable = ppo_networks.make_ppo_networks,
+    randomization_fn: Optional[Callable] = None,
+    progress_fn: Callable[[int, Metrics], None] = lambda *args: None,
+    policy_params_fn: Callable[..., None] = lambda *args: None,
+    eval_env=None,
+    devices=None,
+):
+    """Train a PPO policy; returns (make_policy, params, metrics).
+
+    ``params`` is ``(normalizer_state, PPONetworkParams)``; pass
+    ``(params[0], params[1].policy)`` to ``make_policy`` — the reference's
+    checkpoint/export contract (utils.py:242, export.py:29).
+    """
+    device_mesh = mesh_lib.make_env_mesh(devices)
+    num_devices = device_mesh.size
+    assert num_envs % num_devices == 0, (num_envs, num_devices)
+
+    env_step_per_training_step = (
+        batch_size * unroll_length * num_minibatches * action_repeat
+    )
+    num_evals_after_init = max(num_evals - 1, 1)
+    num_training_steps_per_epoch = max(
+        1,
+        pymath.ceil(
+            num_timesteps / (num_evals_after_init * env_step_per_training_step)
+        ),
+    )
+    assert (batch_size * num_minibatches) % num_envs == 0
+    num_unrolls_per_env = (batch_size * num_minibatches) // num_envs
+
+    key = jax.random.PRNGKey(seed)
+    key, network_key, env_key, eval_key = jax.random.split(key, 4)
+
+    # --- env (episode + DR-vmap + auto-reset, SURVEY §3.4) ---------------
+    key_dr = None
+    if randomization_fn is not None:
+        key, key_dr = jax.random.split(key)
+        key_dr = jax.random.split(key_dr, num_envs)
+    env = wrappers.wrap_for_training(
+        environment,
+        episode_length=episode_length,
+        action_repeat=action_repeat,
+        randomization_fn=randomization_fn,
+        randomization_rng=key_dr,
+    )
+
+    obs_size = environment.observation_size
+    action_size = environment.action_size
+
+    # --- networks + optimizer -------------------------------------------
+    ppo_network = network_factory(obs_size, action_size)
+    make_policy = ppo_networks.make_inference_fn(ppo_network)
+    dist = ppo_network.action_distribution
+
+    if max_grad_norm is not None:
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(max_grad_norm),
+            optax.adam(learning_rate=learning_rate),
+        )
+    else:
+        optimizer = optax.adam(learning_rate=learning_rate)
+
+    # --- shardings -------------------------------------------------------
+    replicated = NamedSharding(device_mesh, P())
+    env_sharded = NamedSharding(device_mesh, P(mesh_lib.ENV_AXIS))
+    time_batch = P(None, mesh_lib.ENV_AXIS)
+
+    def constrain(tree, spec: P):
+        s = NamedSharding(device_mesh, spec)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, s), tree
+        )
+
+    # --- loss ------------------------------------------------------------
+    def compute_ppo_loss(
+        params: ppo_networks.PPONetworkParams,
+        normalizer_params,
+        data: Transition,
+        rng: jax.Array,
+    ) -> Tuple[jnp.ndarray, Metrics]:
+        # data is time-major (T, mb, ...)
+        policy_logits = ppo_network.policy_network.apply(
+            normalizer_params if normalize_observations else None,
+            params.policy,
+            data.observation,
+        )
+        baseline = ppo_network.value_network.apply(
+            normalizer_params if normalize_observations else None,
+            params.value,
+            data.observation,
+        )
+        bootstrap_value = ppo_network.value_network.apply(
+            normalizer_params if normalize_observations else None,
+            params.value,
+            data.next_observation[-1],
+        )
+
+        rewards = data.reward * reward_scaling
+        truncation = data.truncation
+        termination = (1.0 - data.discount) * (1.0 - truncation)
+
+        target_lp = dist.log_prob(policy_logits, data.policy_extras["raw_action"])
+        behaviour_lp = data.policy_extras["log_prob"]
+
+        vs, advantages = compute_gae(
+            truncation=truncation,
+            termination=termination,
+            rewards=rewards,
+            values=baseline,
+            bootstrap_value=bootstrap_value,
+            lambda_=gae_lambda,
+            discount=discounting,
+        )
+        if normalize_advantage:
+            advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+
+        rho = jnp.exp(target_lp - behaviour_lp)
+        surrogate = rho * advantages
+        clipped = (
+            jnp.clip(rho, 1.0 - clipping_epsilon, 1.0 + clipping_epsilon) * advantages
+        )
+        policy_loss = -jnp.mean(jnp.minimum(surrogate, clipped))
+
+        v_error = vs - baseline
+        value_loss = 0.25 * jnp.mean(v_error * v_error)
+
+        entropy = jnp.mean(dist.entropy(policy_logits, rng))
+        entropy_loss = -entropy_cost * entropy
+
+        total = policy_loss + value_loss + entropy_loss
+        return total, {
+            "total_loss": total,
+            "policy_loss": policy_loss,
+            "value_loss": value_loss,
+            "entropy_loss": entropy_loss,
+        }
+
+    grad_fn = jax.value_and_grad(compute_ppo_loss, has_aux=True)
+
+    # --- SGD over minibatches -------------------------------------------
+    def minibatch_step(carry, data: Transition):
+        opt_state, params, normalizer_params, key_ = carry
+        key_, key_loss = jax.random.split(key_)
+        (_, metrics), grads = grad_fn(params, normalizer_params, data, key_loss)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (opt_state, params, normalizer_params, key_), metrics
+
+    def sgd_step(carry, _, data: Transition):
+        opt_state, params, normalizer_params, key_ = carry
+        key_, key_perm, key_grad = jax.random.split(key_, 3)
+
+        total_batch = batch_size * num_minibatches
+        perm = jax.random.permutation(key_perm, total_batch)
+
+        def shuffle(x):
+            # (T, B, ...) -> (M, T, mb, ...): global shuffle over the
+            # sharded batch axis (GSPMD lowers the gather to collectives)
+            x = jnp.take(x, perm, axis=1)
+            x = x.reshape((x.shape[0], num_minibatches, batch_size) + x.shape[2:])
+            x = jnp.swapaxes(x, 0, 1)
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(device_mesh, P(None, None, mesh_lib.ENV_AXIS))
+            )
+
+        shuffled = jax.tree_util.tree_map(shuffle, data)
+        (opt_state, params, _, _), metrics = jax.lax.scan(
+            minibatch_step,
+            (opt_state, params, normalizer_params, key_grad),
+            shuffled,
+            length=num_minibatches,
+        )
+        return (opt_state, params, normalizer_params, key_), metrics
+
+    # --- one training step: rollout + normalizer update + SGD epochs ----
+    def training_step(carry, _):
+        training_state, env_state, key_ = carry
+        key_, key_sgd, key_unroll = jax.random.split(key_, 3)
+
+        policy = make_policy(
+            (
+                training_state.normalizer_params if normalize_observations else None,
+                training_state.params.policy,
+            )
+        )
+
+        def roll(carry_, _unused):
+            state, k = carry_
+            k, k_unroll = jax.random.split(k)
+            next_state, data = acting.generate_unroll(
+                env, state, policy, k_unroll, unroll_length
+            )
+            return (next_state, k), data
+
+        (env_state, _), data = jax.lax.scan(
+            roll, (env_state, key_unroll), (), length=num_unrolls_per_env
+        )
+        # (U, T, B_env, ...) -> (T, U*B_env, ...) time-major flat batch
+        def reorder(x):
+            x = jnp.swapaxes(x, 0, 1)
+            x = x.reshape((x.shape[0], -1) + x.shape[3:])
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(device_mesh, time_batch)
+            )
+
+        data = jax.tree_util.tree_map(reorder, data)
+
+        normalizer_params = training_state.normalizer_params
+        if normalize_observations:
+            normalizer_params = running_statistics.update(
+                normalizer_params, data.observation
+            )
+
+        (opt_state, params, _, _), sgd_metrics = jax.lax.scan(
+            functools.partial(sgd_step, data=data),
+            (
+                training_state.optimizer_state,
+                training_state.params,
+                normalizer_params,
+                key_sgd,
+            ),
+            (),
+            length=num_updates_per_batch,
+        )
+        metrics = jax.tree_util.tree_map(jnp.mean, sgd_metrics)
+
+        new_training_state = TrainingState(
+            optimizer_state=opt_state,
+            params=params,
+            normalizer_params=normalizer_params,
+            env_steps=training_state.env_steps + env_step_per_training_step,
+        )
+        return (new_training_state, env_state, key_), metrics
+
+    def training_epoch(training_state, env_state, key_):
+        (training_state, env_state, _), metrics = jax.lax.scan(
+            training_step,
+            (training_state, env_state, key_),
+            (),
+            length=num_training_steps_per_epoch,
+        )
+        metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+        return training_state, env_state, metrics
+
+    epoch_fn = jax.jit(
+        training_epoch,
+        in_shardings=(replicated, env_sharded, replicated),
+        out_shardings=(replicated, env_sharded, replicated),
+        donate_argnums=(0, 1),
+    )
+
+    # --- init ------------------------------------------------------------
+    key_policy, key_value = jax.random.split(network_key)
+    init_params = ppo_networks.PPONetworkParams(
+        policy=ppo_network.policy_network.init(key_policy),
+        value=ppo_network.value_network.init(key_value),
+    )
+    training_state = TrainingState(
+        optimizer_state=optimizer.init(init_params),
+        params=init_params,
+        normalizer_params=running_statistics.init_state(obs_size),
+        env_steps=jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32),
+    )
+    training_state = jax.device_put(training_state, replicated)
+
+    reset_fn = jax.jit(env.reset, out_shardings=env_sharded)
+    env_keys = jax.random.split(env_key, num_envs)
+    env_state = reset_fn(env_keys)
+
+    # --- evaluator -------------------------------------------------------
+    if eval_env is None:
+        eval_env = environment
+    wrapped_eval_env = wrappers.wrap_for_training(
+        eval_env, episode_length=episode_length, action_repeat=action_repeat
+    )
+    evaluator = acting.Evaluator(
+        wrapped_eval_env,
+        functools.partial(make_policy, deterministic=deterministic_eval),
+        num_eval_envs=num_eval_envs,
+        episode_length=episode_length,
+        action_repeat=action_repeat,
+        key=eval_key,
+    )
+
+    def _callback_params(ts: TrainingState):
+        return (ts.normalizer_params, ts.params)
+
+    # --- main loop -------------------------------------------------------
+    all_metrics: Dict[str, float] = {}
+    current_step = 0
+
+    if num_evals > 1:
+        metrics = evaluator.run_evaluation(
+            (training_state.normalizer_params, training_state.params.policy)
+        )
+        progress_fn(0, metrics)
+        all_metrics = metrics
+
+    for _ in range(num_evals_after_init):
+        key, epoch_key = jax.random.split(key)
+        t = time.perf_counter()
+        training_state, env_state, train_metrics = epoch_fn(
+            training_state, env_state, epoch_key
+        )
+        train_metrics = jax.device_get(train_metrics)
+        epoch_time = time.perf_counter() - t
+        current_step = int(jax.device_get(training_state.env_steps))
+        sps = num_training_steps_per_epoch * env_step_per_training_step / epoch_time
+
+        metrics = {
+            "training/sps": sps,
+            "training/walltime": epoch_time,
+            **{f"training/{k}": float(v) for k, v in train_metrics.items()},
+        }
+        if num_evals > 1 or _ == num_evals_after_init - 1:
+            metrics.update(
+                evaluator.run_evaluation(
+                    (training_state.normalizer_params, training_state.params.policy)
+                )
+            )
+        all_metrics = metrics
+        progress_fn(current_step, metrics)
+        policy_params_fn(current_step, make_policy, _callback_params(training_state))
+
+    params = (training_state.normalizer_params, training_state.params)
+    return make_policy, params, all_metrics

@@ -1,0 +1,75 @@
+"""Checkpoint, metrics-logger, and gait-analysis tool tests."""
+
+import json
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from puppax.tools.metrics import MetricsLogger, make_progress_fn
+from puppax.tools.plotting import hilbert_transform
+from puppax.train import checkpoint, make_ppo_networks
+
+
+def test_checkpoint_step_layout_roundtrip(tmp_path):
+    net = make_ppo_networks(10, 4, policy_hidden_layer_sizes=(8,))
+    params = net.policy_network.init(jax.random.PRNGKey(0))
+    ckpt_dir = tmp_path / "ckpts"
+    checkpoint.save_checkpoint(100, params, ckpt_dir)
+    checkpoint.save_checkpoint(250, params, ckpt_dir)
+    assert (ckpt_dir / "100").is_dir() and (ckpt_dir / "250").is_dir()
+    assert checkpoint.latest_checkpoint_step(ckpt_dir) == 250
+
+    restored = checkpoint.restore_checkpoint(ckpt_dir)
+    orig = jax.tree_util.tree_leaves(params)
+    back = jax.tree_util.tree_leaves(restored)
+    assert len(orig) == len(back)
+    for a, b in zip(orig, back):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    path = str(tmp_path / "metrics.jsonl")
+    logger = MetricsLogger(jsonl_path=path)
+    logger.log({"eval/episode_reward": 1.5, "nested": {"skip": 1}}, step=10)
+    logger.log({"eval/episode_reward": 2.5}, step=20)
+    lines = [json.loads(line) for line in open(path)]
+    assert [r["step"] for r in lines] == [10, 20]
+    assert lines[0]["eval/episode_reward"] == 1.5
+    assert "nested" not in lines[0]  # non-scalars skipped
+
+
+def test_progress_fn_accumulates_curve(tmp_path):
+    logger = MetricsLogger(jsonl_path=str(tmp_path / "m.jsonl"))
+    progress = make_progress_fn(logger)
+    progress(0, {"eval/episode_reward": 1.0, "eval/episode_reward_std": 0.1})
+    progress(100, {"training/sps": 5.0})  # no eval key: curve unchanged
+    progress(200, {"eval/episode_reward": 2.0, "eval/episode_reward_std": 0.2})
+    assert progress.x_data == [0, 200]
+    assert progress.y_data == [1.0, 2.0]
+    assert progress.ydataerr == [0.1, 0.2]
+    assert len(progress.times) == 3
+
+
+def test_hilbert_transform_pure_tone():
+    """For A*sin(2 pi f t): envelope ~= A, inst. frequency ~= f."""
+    dt = 0.01
+    f = 2.0
+    t = np.arange(0, 4, dt)
+    signal = 1.7 * np.sin(2 * np.pi * f * t)
+    amp, freq, phase = hilbert_transform(signal, dt)
+    interior = slice(50, -50)  # edges suffer FFT leakage
+    np.testing.assert_allclose(amp[interior], 1.7, rtol=0.02)
+    np.testing.assert_allclose(freq[interior], f, rtol=0.02)
+    # phase increases monotonically for a pure tone
+    assert np.all(np.diff(phase[interior]) > 0)
+
+
+def test_hilbert_transform_multichannel():
+    dt = 0.02
+    t = np.arange(0, 2, dt)
+    sig = np.stack([np.sin(2 * np.pi * 1.0 * t), np.sin(2 * np.pi * 3.0 * t)], 1)
+    amp, freq, phase = hilbert_transform(sig, dt)
+    assert amp.shape == sig.shape
+    assert freq.shape == (sig.shape[0] - 1, 2)
