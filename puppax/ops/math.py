@@ -19,6 +19,7 @@ MuJoCo's smooth dynamics (mj_comPos / mj_comVel / mj_rne / mj_crb).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -161,19 +162,39 @@ def transform_inertia(
     Returns the spatial inertia [[I + m cxc^T, m cx],[m cx^T, m 1]] with
     ordering [ang; lin] (MuJoCo cinert semantics, expanded to dense 6x6).
     """
-    I3 = imat @ jnp.diag(diag_inertia) @ imat.T
-    cx = jnp.array(
-        [
-            [0.0, -ipos[2], ipos[1]],
-            [ipos[2], 0.0, -ipos[0]],
-            [-ipos[1], ipos[0], 0.0],
-        ]
-    )
-    top_left = I3 + mass * (cx @ cx.T)
-    top_right = mass * cx
-    bottom_left = mass * cx.T
-    bottom_right = mass * jnp.eye(3)
-    return jnp.block([[top_left, top_right], [bottom_left, bottom_right]])
+    return transform_inertia_batch(
+        mass[None], diag_inertia[None], ipos[None], imat[None]
+    )[0]
+
+
+# Levi-Civita tensor: skew(c)[i, k] = eps[i, j, k] c[j]
+_EPS3 = np.zeros((3, 3, 3), np.float32)
+_EPS3[0, 1, 2] = _EPS3[1, 2, 0] = _EPS3[2, 0, 1] = 1.0
+_EPS3[0, 2, 1] = _EPS3[1, 0, 2] = _EPS3[2, 1, 0] = -1.0
+
+
+def transform_inertia_batch(
+    mass: jnp.ndarray, diag_inertia: jnp.ndarray, ipos: jnp.ndarray, imat: jnp.ndarray
+) -> jnp.ndarray:
+    """Batched (n, 6, 6) spatial inertias — a handful of dense einsums
+    instead of per-body scalar assembly (jnp.array-of-scalars + jnp.block
+    explode into hundreds of MB of HBM traffic under a 4k env vmap)."""
+    dtype = ipos.dtype
+    I3 = jnp.einsum("nij,nj,nkj->nik", imat, diag_inertia, imat)
+    c = ipos
+    m_ = mass[..., None, None]
+    cc = c[..., :, None] * c[..., None, :]
+    dot = jnp.sum(c * c, axis=-1)[..., None, None]
+    eye3 = jnp.eye(3, dtype=dtype)
+    # cx cx^T = (c.c) I - c c^T
+    top_left = I3 + m_ * (dot * eye3 - cc)
+    cx = jnp.einsum("ijk,nj->nik", jnp.asarray(_EPS3, dtype), c)
+    top_right = m_ * cx
+    bottom_left = jnp.swapaxes(top_right, -1, -2)
+    bottom_right = m_ * eye3
+    top = jnp.concatenate([top_left, top_right], axis=-1)
+    bottom = jnp.concatenate([bottom_left, bottom_right], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
 
 
 def transform_motion(v: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:

@@ -5,8 +5,16 @@ produces): plane-sphere, sphere-sphere, sphere-box. All candidate pairs are
 evaluated every step with fixed shapes; the reference's MJX contact caps
 (``max_geom_pairs`` per pair type, then ``max_contact_points`` overall,
 /root/reference/test/test_pupper_model.xml:227-230 via
-utils.set_mjx_custom_options) are applied as dynamic top-k selections by
-penetration depth — fully static shapes, no ragged gathers, TPU-friendly.
+utils.set_mjx_custom_options) are applied as top-k selections by
+penetration depth.
+
+TPU note: everything here is deliberately **gather/scatter-free**. Pair
+selections from the kinematics tables use constant one-hot einsums (the
+pair lists are static model topology), and top-k is a short sequential
+argmin with one-hot extraction — ``jax.lax.top_k`` + dynamic gathers
+lower to multi-GB HBM traffic under a 4k env vmap on TPU (measured:
+collide dropped from 24.3 GB to ~0.1 GB of bytes accessed per 4096-env
+call after this rewrite).
 
 Contact conventions match MuJoCo: ``dist`` < 0 means penetration, the
 frame's first row is the normal pointing from geom1 into geom2, ``pos`` is
@@ -18,7 +26,7 @@ tests/test_physics_constraint.py).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -47,109 +55,141 @@ class Contacts(NamedTuple):
 _PAD_DIST = 1e10
 
 
-def _make_frame(n: jnp.ndarray) -> jnp.ndarray:
-    """Contact frame from a unit normal (MuJoCo mju_makeFrame semantics):
+def _take(x: jnp.ndarray, idx: Sequence[int]) -> jnp.ndarray:
+    """Select rows of a traced (n, ...) array by STATIC indices via a
+    constant one-hot einsum — lowers to one dense contraction instead of a
+    gather (gathers under a large env vmap are pathological on TPU)."""
+    idx = np.asarray(idx, np.int64)
+    sel = np.zeros((len(idx), x.shape[0]), np.float32)
+    sel[np.arange(len(idx)), idx] = 1.0
+    return jnp.einsum("kn,n...->k...", jnp.asarray(sel, x.dtype), x)
+
+
+def _make_frames(n: jnp.ndarray) -> jnp.ndarray:
+    """Contact frames from unit normals (k, 3) (MuJoCo mju_makeFrame):
     tangent1 = normalized projection of the smallest-|component| world axis,
     tangent2 = normal x tangent1."""
     an = jnp.abs(n)
-    # MuJoCo's selection: x if strictly smallest, else y if |y|<|z|, else z
-    use_x = (an[0] < an[1]) & (an[0] < an[2])
-    use_y = (~use_x) & (an[1] < an[2])
+    use_x = (an[:, 0] < an[:, 1]) & (an[:, 0] < an[:, 2])
+    use_y = (~use_x) & (an[:, 1] < an[:, 2])
     axis = jnp.where(
-        use_x,
+        use_x[:, None],
         jnp.array([1.0, 0.0, 0.0], n.dtype),
         jnp.where(
-            use_y,
+            use_y[:, None],
             jnp.array([0.0, 1.0, 0.0], n.dtype),
             jnp.array([0.0, 0.0, 1.0], n.dtype),
         ),
     )
-    t1 = axis - n * jnp.dot(n, axis)
-    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-12)
+    t1 = axis - n * jnp.sum(n * axis, axis=-1, keepdims=True)
+    t1 = t1 / jnp.maximum(
+        jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12
+    )
     t2 = jnp.cross(n, t1)
-    return jnp.stack([n, t1, t2])
+    return jnp.stack([n, t1, t2], axis=1)  # (k, 3, 3)
 
 
-def _combine(m: RobotModel, g1: int, g2: int):
+def _combine(m: RobotModel, g1: np.ndarray, g2: np.ndarray):
     """Per-contact parameter combination (priorities equal, solmix default):
-    friction = elementwise max, solref/solimp = mean."""
-    friction = jnp.maximum(m.geom_friction[g1], m.geom_friction[g2])
+    friction = elementwise max, solref/solimp = mean. Static pair ids."""
+    fr = jnp.maximum(_take(m.geom_friction, g1), _take(m.geom_friction, g2))
     # MuJoCo contact friction = [slide, slide, torsion, roll, roll]; both
     # tangential directions use the slide coefficient
-    tangential = jnp.stack([friction[0], friction[0]])
-    solref = 0.5 * (m.geom_solref[g1] + m.geom_solref[g2])
-    solimp = 0.5 * (m.geom_solimp[g1] + m.geom_solimp[g2])
-    geom_bodyid = jnp.asarray(m.geom_bodyid, jnp.int32)
-    b1, b2 = geom_bodyid[g1], geom_bodyid[g2]
-    invweight = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-    return tangential.astype(solref.dtype), solref, solimp, invweight
+    tangential = jnp.stack([fr[:, 0], fr[:, 0]], axis=-1)
+    solref = 0.5 * (_take(m.geom_solref, g1) + _take(m.geom_solref, g2))
+    solimp = 0.5 * (_take(m.geom_solimp, g1) + _take(m.geom_solimp, g2))
+    bodyid = np.asarray(m.geom_bodyid)
+    b1, b2 = bodyid[g1], bodyid[g2]
+    iw_lin = m.body_invweight0[:, 0]
+    invweight = _take(iw_lin, b1) + _take(iw_lin, b2)
+    return tangential.astype(solref.dtype), solref, solimp, invweight, b1, b2
 
 
-def _plane_sphere(m: RobotModel, kin: Kinematics, g1: int, g2: int):
-    n = kin.geom_xmat[g1][:, 2]  # plane normal = local z axis
-    center = kin.geom_xpos[g2]
-    r = m.geom_size[g2, 0]
-    dist = jnp.dot(n, center - kin.geom_xpos[g1]) - r
-    pos = center - n * (r + 0.5 * dist)
-    return dist, pos, _make_frame(n)
+def _plane_sphere(m: RobotModel, kin: Kinematics, g1, g2):
+    """Batched plane(g1)-sphere(g2) for static index arrays g1, g2."""
+    n = _take(kin.geom_xmat, g1)[:, :, 2]  # plane normals = local z axes
+    plane_pos = _take(kin.geom_xpos, g1)
+    center = _take(kin.geom_xpos, g2)
+    r = _take(m.geom_size, g2)[:, 0]
+    dist = jnp.sum(n * (center - plane_pos), axis=-1) - r
+    pos = center - n * (r + 0.5 * dist)[:, None]
+    return dist, pos, _make_frames(n)
 
 
-def _sphere_sphere(m: RobotModel, kin: Kinematics, g1: int, g2: int):
-    c1, c2 = kin.geom_xpos[g1], kin.geom_xpos[g2]
-    r1, r2 = m.geom_size[g1, 0], m.geom_size[g2, 0]
+def _sphere_sphere(m: RobotModel, kin: Kinematics, g1, g2):
+    c1 = _take(kin.geom_xpos, g1)
+    c2 = _take(kin.geom_xpos, g2)
+    r1 = _take(m.geom_size, g1)[:, 0]
+    r2 = _take(m.geom_size, g2)[:, 0]
     delta = c2 - c1
-    length = jnp.linalg.norm(delta)
-    n = delta / jnp.maximum(length, 1e-12)
+    length = jnp.linalg.norm(delta, axis=-1)
+    n = delta / jnp.maximum(length, 1e-12)[:, None]
     dist = length - (r1 + r2)
-    pos = c1 + n * (r1 + 0.5 * dist)
-    return dist, pos, _make_frame(n)
+    pos = c1 + n * (r1 + 0.5 * dist)[:, None]
+    return dist, pos, _make_frames(n)
 
 
-def _sphere_box(m: RobotModel, kin: Kinematics, g1: int, g2: int):
-    """Sphere (geom1) vs box (geom2); normal points from sphere into box."""
-    center = kin.geom_xpos[g1]
-    r = m.geom_size[g1, 0]
-    box_pos = kin.geom_xpos[g2]
-    box_mat = kin.geom_xmat[g2]
-    half = m.geom_size[g2]
-    # sphere center in box frame
-    p = box_mat.T @ (center - box_pos)
+def _sphere_box(m: RobotModel, kin: Kinematics, g1, g2):
+    """Batched sphere(g1) vs box(g2); normal points from sphere into box."""
+    center = _take(kin.geom_xpos, g1)
+    r = _take(m.geom_size, g1)[:, 0]
+    box_pos = _take(kin.geom_xpos, g2)
+    box_mat = _take(kin.geom_xmat, g2)  # (k, 3, 3)
+    half = _take(m.geom_size, g2)  # (k, 3)
+    # sphere centers in box frames
+    p = jnp.einsum("kij,ki->kj", box_mat, center - box_pos)
     clamped = jnp.clip(p, -half, half)
-    inside = jnp.all(jnp.abs(p) < half)
+    inside = jnp.all(jnp.abs(p) < half, axis=-1)
 
     # outside: closest point on surface
     delta_out = p - clamped
-    dist_out = jnp.linalg.norm(delta_out)
-    n_out = -delta_out / jnp.maximum(dist_out, 1e-12)  # from sphere to box
-    surf_out = clamped
-
-    # inside: push out along the nearest face
+    dist_out = jnp.linalg.norm(delta_out, axis=-1)
+    n_out = -delta_out / jnp.maximum(dist_out, 1e-12)[:, None]
+    # inside: push out along the nearest face (one-hot, no scatter)
     gaps = half - jnp.abs(p)
-    k = jnp.argmin(gaps)
-    sign = jnp.sign(p[k])
+    kmin = jnp.argmin(gaps, axis=-1)
+    oh = jax.nn.one_hot(kmin, 3, dtype=p.dtype)
+    sign = jnp.sign(jnp.sum(p * oh, axis=-1))
     sign = jnp.where(sign == 0, 1.0, sign)
-    n_in = jnp.zeros(3, p.dtype).at[k].set(-sign)  # from sphere toward face
-    dist_in = -gaps[k]
-    surf_in = p.at[k].set(sign * half[k])
+    n_in = -sign[:, None] * oh
+    dist_in = -jnp.sum(gaps * oh, axis=-1)
+    surf_in = p * (1.0 - oh) + oh * sign[:, None] * half
 
     dist_local = jnp.where(inside, dist_in, dist_out) - r
-    n_local = jnp.where(inside, n_in, n_out)
-    surf_local = jnp.where(inside, surf_in, clamped)
+    n_local = jnp.where(inside[:, None], n_in, n_out)
+    surf_local = jnp.where(inside[:, None], surf_in, clamped)
 
-    n = box_mat @ n_local
-    surface = box_pos + box_mat @ surf_local
-    sphere_surface = center + n * r
+    n = jnp.einsum("kij,kj->ki", box_mat, n_local)
+    surface = box_pos + jnp.einsum("kij,kj->ki", box_mat, surf_local)
+    sphere_surface = center + n * r[:, None]
     pos = 0.5 * (sphere_surface + surface)
-    return dist_local, pos, _make_frame(n)
+    return dist_local, pos, _make_frames(n)
 
 
-def _top_k_mask_concat(items, k):
-    """Select top-k most-penetrating rows from stacked contact arrays."""
+def _top_k_select(items, k):
+    """Keep the k most-penetrating rows (ascending dist, first-index ties),
+    matching lax.top_k(-dist) order — implemented as k sequential argmins
+    with one-hot extraction (gather-free)."""
     dist = items[0]
-    if dist.shape[0] <= k:
+    n = dist.shape[0]
+    if n <= k:
         return items
-    _, idx = jax.lax.top_k(-dist, k)
-    return tuple(x[idx] for x in items)
+    iota = jnp.arange(n)
+    masked = dist
+    rows = []
+    for _ in range(k):
+        i = jnp.argmin(masked)
+        oh = iota == i
+        rows.append(oh)
+        # mask with +inf (not _PAD_DIST) so already-selected rows can never
+        # be re-picked even when the remaining rows are all pads
+        masked = jnp.where(oh, jnp.asarray(jnp.inf, dist.dtype), masked)
+    sel = jnp.stack(rows)  # (k, n) bool
+    out = []
+    for x in items:
+        sel_x = sel.reshape(sel.shape + (1,) * (x.ndim - 1))
+        out.append(jnp.sum(jnp.where(sel_x, x[None], jnp.zeros((), x.dtype)), axis=1))
+    return tuple(out)
 
 
 def collide(m: RobotModel, kin: Kinematics) -> Contacts:
@@ -163,13 +203,10 @@ def collide(m: RobotModel, kin: Kinematics) -> Contacts:
     ):
         if not pairs:
             continue
-        g1_arr = jnp.asarray([p[0] for p in pairs], jnp.int32)
-        g2_arr = jnp.asarray([p[1] for p in pairs], jnp.int32)
-        dist, pos, frame = jax.vmap(lambda a, b: fn(m, kin, a, b))(g1_arr, g2_arr)
-        fri, sref, simp, iw = jax.vmap(lambda a, b: _combine(m, a, b))(
-            g1_arr, g2_arr
-        )
-        geom_bodyid = jnp.asarray(m.geom_bodyid, jnp.int32)
+        g1 = np.asarray([p[0] for p in pairs], np.int64)
+        g2 = np.asarray([p[1] for p in pairs], np.int64)
+        dist, pos, frame = fn(m, kin, g1, g2)
+        fri, sref, simp, iw, b1, b2 = _combine(m, g1, g2)
         group = (
             dist,
             pos,
@@ -178,13 +215,13 @@ def collide(m: RobotModel, kin: Kinematics) -> Contacts:
             sref,
             simp,
             iw,
-            g1_arr,
-            g2_arr,
-            geom_bodyid[g1_arr],
-            geom_bodyid[g2_arr],
+            jnp.asarray(g1, jnp.int32),
+            jnp.asarray(g2, jnp.int32),
+            jnp.asarray(b1, jnp.int32),
+            jnp.asarray(b2, jnp.int32),
         )
         # per-type pair cap (reference MJX max_geom_pairs semantics)
-        groups.append(_top_k_mask_concat(group, m.max_geom_pairs))
+        groups.append(_top_k_select(group, m.max_geom_pairs))
 
     ncon = m.max_contact_points
     if not groups:
@@ -209,7 +246,7 @@ def collide(m: RobotModel, kin: Kinematics) -> Contacts:
     )
     n_all = merged[0].shape[0]
     if n_all > ncon:
-        merged = _top_k_mask_concat(merged, ncon)
+        merged = _top_k_select(merged, ncon)
     elif n_all < ncon:
         pad = ncon - n_all
         padded = []

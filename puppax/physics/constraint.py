@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from puppax.model.mjcf import JNT_FREE, RobotModel
+from puppax.ops.select import take_rows
 from puppax.physics.collision import Contacts
 from puppax.physics.smooth import ComQuantities
 
@@ -147,11 +148,17 @@ def contact_point_jacobian(
     point: jnp.ndarray,
     body: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Translational Jacobian (3, nv) of a world point on a (dynamic) body."""
+    """Translational Jacobian (3, nv) of a world point on a (dynamic) body.
+
+    ``body`` is traced (it comes from contact top-k selection), so the
+    per-body lookups go through a one-hot contraction over the small body
+    axis rather than a dynamic gather (pathological under env vmap)."""
     mask_table, rootid_table = _tables(m)[:2]
-    mask = jnp.asarray(mask_table, com.cdof.dtype)[body]  # (nv,)
-    root = jnp.asarray(rootid_table)[body]
-    offset = point - com.subtree_com[root]  # (3,)
+    dtype = com.cdof.dtype
+    oh = jax.nn.one_hot(body, m.nbody, dtype=dtype)  # (nbody,)
+    mask = oh @ jnp.asarray(mask_table, dtype)  # (nv,)
+    root_coms = take_rows(com.subtree_com, rootid_table)  # (nbody, 3), static
+    offset = point - oh @ root_coms  # (3,)
     jac = com.cdof[:, 3:] + jnp.cross(com.cdof[:, :3], offset[None, :])
     return (jac * mask[:, None]).T  # (3, nv)
 
@@ -165,36 +172,39 @@ def make_efc(
 ) -> EfcData:
     dtype = qvel.dtype
     (_, _, fd, fric_onehot, lim_j, lim_qadr, lim_dadr, lim_onehot) = _tables(m)
-    fd = jnp.asarray(fd)
-    lim_jx = jnp.asarray(lim_j)
-    lim_qadr = jnp.asarray(lim_qadr)
-    lim_dadr = jnp.asarray(lim_dadr)
 
     # ---- dof friction-loss rows (always instantiated) ----
     J_fric = jnp.asarray(fric_onehot, dtype)
     pos_fric = jnp.zeros(fd.shape[0], dtype)
-    jvel_fric = qvel[fd]
+    jvel_fric = take_rows(qvel, fd)
     aref_f, D_f, R_f = _row(
-        m.dof_solref[fd], m.dof_solimp[fd], pos_fric, jvel_fric, m.dof_invweight0[fd]
+        take_rows(m.dof_solref, fd),
+        take_rows(m.dof_solimp, fd),
+        pos_fric,
+        jvel_fric,
+        take_rows(m.dof_invweight0, fd),
     )
-    floss_f = m.dof_frictionloss[fd]
+    floss_f = take_rows(m.dof_frictionloss, fd)
 
     # ---- joint limit rows (one per limited joint; nearest side, active
     # only when violated — matching mj_instantiateLimit) ----
-    q_l = qpos[lim_qadr]
-    dist_lo = q_l - m.jnt_range[lim_jx, 0]
-    dist_hi = m.jnt_range[lim_jx, 1] - q_l
+    q_l = take_rows(qpos, lim_qadr)
+    jnt_range_l = take_rows(m.jnt_range, lim_j)
+    dist_lo = q_l - jnt_range_l[:, 0]
+    dist_hi = jnt_range_l[:, 1] - q_l
     lower_side = dist_lo < dist_hi
     side = jnp.where(lower_side, 1.0, -1.0).astype(dtype)
-    pos_lim = jnp.where(lower_side, dist_lo, dist_hi) - m.jnt_margin[lim_jx]
+    pos_lim = jnp.where(lower_side, dist_lo, dist_hi) - take_rows(
+        m.jnt_margin, lim_j
+    )
     J_lim = jnp.asarray(lim_onehot, dtype) * side[:, None]
-    jvel_lim = side * qvel[lim_dadr]
+    jvel_lim = side * take_rows(qvel, lim_dadr)
     aref_l, D_l, R_l = _row(
-        m.jnt_solref[lim_jx],
-        m.jnt_solimp[lim_jx],
+        take_rows(m.jnt_solref, lim_j),
+        take_rows(m.jnt_solimp, lim_j),
         pos_lim,
         jvel_lim,
-        m.dof_invweight0[lim_dadr],
+        take_rows(m.dof_invweight0, lim_dadr),
         enable=pos_lim < 0,
     )
 
@@ -248,7 +258,7 @@ def make_efc(
     pos_c = pos_c.reshape(ncon4)
 
     nfl = fd.shape[0]
-    nlim = lim_jx.shape[0]
+    nlim = len(lim_j)
     zeros_lim = jnp.zeros(nlim, dtype)
     zeros_con = jnp.zeros(ncon4, dtype)
     return EfcData(

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from puppax.model.mjcf import JNT_FREE, JNT_HINGE, RobotModel
 from puppax.ops import math
+from puppax.ops.select import set_rows, take_rows
 
 
 def integrate_pos(m: RobotModel, qpos: jnp.ndarray, qvel: jnp.ndarray, dt) -> jnp.ndarray:
@@ -24,9 +25,11 @@ def integrate_pos(m: RobotModel, qpos: jnp.ndarray, qvel: jnp.ndarray, dt) -> jn
         m.jnt_dofadr[j] for j in range(m.njnt) if m.jnt_type[j] == JNT_HINGE
     ]
     if hinge_qadr:
-        qa = jnp.asarray(hinge_qadr, jnp.int32)
-        da = jnp.asarray(hinge_dadr, jnp.int32)
-        out = out.at[qa].set(qpos[qa] + dt * qvel[da])
+        out = set_rows(
+            out,
+            hinge_qadr,
+            take_rows(qpos, hinge_qadr) + dt * take_rows(qvel, hinge_dadr),
+        )
     for j in range(m.njnt):
         if m.jnt_type[j] != JNT_FREE:
             continue

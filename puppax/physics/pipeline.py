@@ -86,8 +86,9 @@ def _make_state(m, qpos, qvel, qacc, caches) -> PhysicsState:
     kin, com, vel, contacts, qfrc_actuator = caches
     # world-frame per-link velocities from com-referenced spatial velocities:
     # v_origin = cvel_lin + cvel_ang x (xpos - subtree_com[root])
-    rootid = jnp.asarray(m.body_rootid)
-    offset = kin.xpos - com.subtree_com[rootid]
+    from puppax.ops.select import take_rows
+
+    offset = kin.xpos - take_rows(com.subtree_com, m.body_rootid)
     ang = vel.cvel[:, :3]
     lin = vel.cvel[:, 3:] + jnp.cross(ang, offset)
     return PhysicsState(

@@ -27,6 +27,7 @@ import numpy as np
 
 from puppax.model.mjcf import JNT_FREE, JNT_HINGE, RobotModel
 from puppax.ops import math
+from puppax.ops.select import add_rows, set_rows, take_rows
 
 
 class Kinematics(NamedTuple):
@@ -112,54 +113,55 @@ def kinematics(m: RobotModel, qpos: jnp.ndarray) -> Kinematics:
     xaxis = jnp.zeros((m.njnt, 3), dtype)
 
     for lv in _levels(m):
-        b = jnp.asarray(lv.bodies)
-        p = jnp.asarray(lv.parents)
         if lv.kind == "free":
             for body, j in zip(lv.bodies, lv.jnts):
                 qadr = m.jnt_qposadr[j]
                 pos = qpos[qadr : qadr + 3]
                 quat = qpos[qadr + 3 : qadr + 7]
                 quat = quat / jnp.linalg.norm(quat)
-                xpos = xpos.at[body].set(pos)
-                xquat = xquat.at[body].set(quat)
-                xanchor = xanchor.at[j].set(pos)
-                xaxis = xaxis.at[j].set(m.jnt_axis[j])  # free axis unrotated
+                xpos = set_rows(xpos, (body,), pos[None])
+                xquat = set_rows(xquat, (body,), quat[None])
+                xanchor = set_rows(xanchor, (j,), pos[None])
+                # free axis unrotated
+                xaxis = set_rows(xaxis, (j,), m.jnt_axis[j][None])
             continue
-        pq = xquat[p]
-        frame_pos = xpos[p] + _rot(m.body_pos[b], pq)
-        frame_quat = _qmul(pq, m.body_quat[b])
+        pq = take_rows(xquat, lv.parents)
+        frame_pos = take_rows(xpos, lv.parents) + _rot(
+            take_rows(m.body_pos, lv.bodies), pq
+        )
+        frame_quat = _qmul(pq, take_rows(m.body_quat, lv.bodies))
         if lv.kind == "fixed":
-            xpos = xpos.at[b].set(frame_pos)
-            xquat = xquat.at[b].set(frame_quat)
+            xpos = set_rows(xpos, lv.bodies, frame_pos)
+            xquat = set_rows(xquat, lv.bodies, frame_quat)
             continue
         # hinge group
-        jj = jnp.asarray(lv.jnts)
-        qadr = jnp.asarray([m.jnt_qposadr[j] for j in lv.jnts])
-        angle = qpos[qadr] - m.qpos0[qadr]
-        axis = m.jnt_axis[jj]
+        qadr = tuple(m.jnt_qposadr[j] for j in lv.jnts)
+        angle = take_rows(qpos, qadr) - take_rows(m.qpos0, qadr)
+        axis = take_rows(m.jnt_axis, lv.jnts)
+        jpos = take_rows(m.jnt_pos, lv.jnts)
         half = 0.5 * angle
         qloc = jnp.concatenate(
             [jnp.cos(half)[:, None], axis * jnp.sin(half)[:, None]], axis=1
         )
         quat = _qmul(frame_quat, qloc)
-        anchor = frame_pos + _rot(m.jnt_pos[jj], frame_quat)
-        pos = anchor - _rot(m.jnt_pos[jj], quat)
-        xpos = xpos.at[b].set(pos)
-        xquat = xquat.at[b].set(quat)
-        xanchor = xanchor.at[jj].set(anchor)
-        xaxis = xaxis.at[jj].set(_rot(m.jnt_axis[jj], quat))
+        anchor = frame_pos + _rot(jpos, frame_quat)
+        pos = anchor - _rot(jpos, quat)
+        xpos = set_rows(xpos, lv.bodies, pos)
+        xquat = set_rows(xquat, lv.bodies, quat)
+        xanchor = set_rows(xanchor, lv.jnts, anchor)
+        xaxis = set_rows(xaxis, lv.jnts, _rot(axis, quat))
 
     # inertial / site / geom frames: one batched op each
     xipos = xpos + _rot(m.body_ipos, xquat)
     ximat = _qmat(_qmul(xquat, m.body_iquat))
-    site_bodyid = jnp.asarray(m.site_bodyid, jnp.int32)
-    geom_bodyid = jnp.asarray(m.geom_bodyid, jnp.int32)
     if m.nsite:
-        site_xpos = xpos[site_bodyid] + _rot(m.site_pos, xquat[site_bodyid])
+        site_xpos = take_rows(xpos, m.site_bodyid) + _rot(
+            m.site_pos, take_rows(xquat, m.site_bodyid)
+        )
     else:
         site_xpos = jnp.zeros((0, 3), dtype)
-    gq = xquat[geom_bodyid]
-    geom_xpos = xpos[geom_bodyid] + _rot(m.geom_pos, gq)
+    gq = take_rows(xquat, m.geom_bodyid)
+    geom_xpos = take_rows(xpos, m.geom_bodyid) + _rot(m.geom_pos, gq)
     geom_xmat = _qmat(_qmul(gq, m.geom_quat))
     return Kinematics(
         xpos=xpos,
@@ -181,16 +183,17 @@ def com_pos(m: RobotModel, kin: Kinematics) -> ComQuantities:
     subtree_mass = m.body_mass
     subtree_mom = m.body_mass[:, None] * kin.xipos
     for lv in reversed(_levels(m)):
-        b = jnp.asarray(lv.bodies)
-        p = jnp.asarray(lv.parents)
-        subtree_mass = subtree_mass.at[p].add(subtree_mass[b])
-        subtree_mom = subtree_mom.at[p].add(subtree_mom[b])
+        subtree_mass = add_rows(
+            subtree_mass, lv.parents, take_rows(subtree_mass, lv.bodies)
+        )
+        subtree_mom = add_rows(
+            subtree_mom, lv.parents, take_rows(subtree_mom, lv.bodies)
+        )
     subtree_com = subtree_mom / jnp.maximum(subtree_mass, 1e-12)[:, None]
 
     # spatial inertia of each body about its kinematic-tree-root com
-    rootid = jnp.asarray(m.body_rootid, jnp.int32)
-    offset = kin.xipos - subtree_com[rootid]
-    cinert = jax.vmap(math.transform_inertia)(
+    offset = kin.xipos - take_rows(subtree_com, m.body_rootid)
+    cinert = math.transform_inertia_batch(
         m.body_mass, m.body_inertia, offset, kin.ximat
     )
 
@@ -198,14 +201,13 @@ def com_pos(m: RobotModel, kin: Kinematics) -> ComQuantities:
     cdof = jnp.zeros((m.nv, 6), dtype)
     hinge_j = [j for j in range(m.njnt) if m.jnt_type[j] == JNT_HINGE]
     if hinge_j:
-        jj = jnp.asarray(hinge_j)
-        dadr = jnp.asarray([m.jnt_dofadr[j] for j in hinge_j])
-        bb = jnp.asarray([m.jnt_bodyid[j] for j in hinge_j])
-        com_r = subtree_com[rootid[bb]]
-        ax = kin.xaxis[jj]
-        off = com_r - kin.xanchor[jj]
-        cdof = cdof.at[dadr].set(
-            jnp.concatenate([ax, jnp.cross(ax, off)], axis=1)
+        dadr = tuple(m.jnt_dofadr[j] for j in hinge_j)
+        roots = tuple(m.body_rootid[m.jnt_bodyid[j]] for j in hinge_j)
+        com_r = take_rows(subtree_com, roots)
+        ax = take_rows(kin.xaxis, hinge_j)
+        off = com_r - take_rows(kin.xanchor, hinge_j)
+        cdof = set_rows(
+            cdof, dadr, jnp.concatenate([ax, jnp.cross(ax, off)], axis=1)
         )
     for j in range(m.njnt):
         if m.jnt_type[j] != JNT_FREE:
@@ -235,18 +237,18 @@ def com_vel(m: RobotModel, com: ComQuantities, qvel: jnp.ndarray) -> Velocity:
     cvel = jnp.zeros((m.nbody, 6), dtype)
     cdof_dot = jnp.zeros((m.nv, 6), dtype)
     for lv in _levels(m):
-        b = jnp.asarray(lv.bodies)
-        p = jnp.asarray(lv.parents)
-        v_parent = cvel[p]
+        v_parent = take_rows(cvel, lv.parents)
         if lv.kind == "fixed":
-            cvel = cvel.at[b].set(v_parent)
+            cvel = set_rows(cvel, lv.bodies, v_parent)
             continue
         if lv.kind == "hinge":
-            dadr = jnp.asarray([m.jnt_dofadr[j] for j in lv.jnts])
-            cd = com.cdof[dadr]  # (k, 6)
+            dadr = tuple(m.jnt_dofadr[j] for j in lv.jnts)
+            cd = take_rows(com.cdof, dadr)  # (k, 6)
             cdd = jax.vmap(math.motion_cross)(v_parent, cd)
-            cdof_dot = cdof_dot.at[dadr].set(cdd)
-            cvel = cvel.at[b].set(v_parent + cd * qvel[dadr][:, None])
+            cdof_dot = set_rows(cdof_dot, dadr, cdd)
+            cvel = set_rows(
+                cvel, lv.bodies, v_parent + cd * take_rows(qvel, dadr)[:, None]
+            )
             continue
         # free joints (one body at a time; usually exactly one)
         for body, j in zip(lv.bodies, lv.jnts):
@@ -258,7 +260,7 @@ def com_vel(m: RobotModel, com: ComQuantities, qvel: jnp.ndarray) -> Velocity:
             )
             cdof_dot = cdof_dot.at[d + 3 : d + 6].set(cdd)
             v_full = v_trans + com.cdof[d + 3 : d + 6].T @ qvel[d + 3 : d + 6]
-            cvel = cvel.at[body].set(v_full)
+            cvel = set_rows(cvel, (body,), v_full[None])
     return Velocity(cvel=cvel, cdof_dot=cdof_dot)
 
 
@@ -296,16 +298,20 @@ def crb(m: RobotModel, com: ComQuantities) -> jnp.ndarray:
     """
     crb_inert = com.cinert
     for lv in reversed(_levels(m)):
-        b = jnp.asarray(lv.bodies)
-        p = jnp.asarray(lv.parents)
-        add = jnp.where((p > 0)[:, None, None], crb_inert[b], 0.0)
-        crb_inert = crb_inert.at[p].add(add)
+        live = [
+            (b, p) for b, p in zip(lv.bodies, lv.parents) if p > 0
+        ]  # contributions into the world body are dropped (static)
+        if not live:
+            continue
+        bs = tuple(b for b, _ in live)
+        ps = tuple(p for _, p in live)
+        crb_inert = add_rows(crb_inert, ps, take_rows(crb_inert, bs))
 
     dof_body, anc = _crb_masks(
         m.nbody, m.nv, m.body_parentid, m.body_jntid, m.jnt_type,
         m.jnt_dofadr, m.jnt_bodyid, m.njnt,
     )
-    F = jnp.einsum("jab,jb->ja", crb_inert[jnp.asarray(dof_body)], com.cdof)
+    F = jnp.einsum("jab,jb->ja", take_rows(crb_inert, dof_body), com.cdof)
     W = (F @ com.cdof.T) * jnp.asarray(anc, com.cdof.dtype)
     return W + W.T - jnp.diag(jnp.diag(W)) + jnp.diag(m.dof_armature)
 
@@ -322,18 +328,16 @@ def rne(
     cacc = jnp.zeros((m.nbody, 6), dtype)
     cacc = cacc.at[0, 3:].set(-m.gravity.astype(dtype))
     for lv in _levels(m):
-        b = jnp.asarray(lv.bodies)
-        p = jnp.asarray(lv.parents)
-        a = cacc[p]
+        a = take_rows(cacc, lv.parents)
         if lv.kind == "hinge":
-            dadr = jnp.asarray([m.jnt_dofadr[j] for j in lv.jnts])
-            a = a + vel.cdof_dot[dadr] * qvel[dadr][:, None]
+            dadr = tuple(m.jnt_dofadr[j] for j in lv.jnts)
+            a = a + take_rows(vel.cdof_dot, dadr) * take_rows(qvel, dadr)[:, None]
         elif lv.kind == "free":
             for idx, (body, j) in enumerate(zip(lv.bodies, lv.jnts)):
                 d = m.jnt_dofadr[j]
                 extra = vel.cdof_dot[d : d + 6].T @ qvel[d : d + 6]
-                a = a.at[idx].add(extra)
-        cacc = cacc.at[b].set(a)
+                a = add_rows(a, (idx,), extra[None])
+        cacc = set_rows(cacc, lv.bodies, a)
 
     # per-body forces: I a + v x* (I v), batched over all bodies
     Iv = jnp.einsum("bij,bj->bi", com.cinert, vel.cvel)
@@ -341,18 +345,22 @@ def rne(
     cfrc = Ia + jax.vmap(math.motion_cross_force)(vel.cvel, Iv)
     total = cfrc
     for lv in reversed(_levels(m)):
-        b = jnp.asarray(lv.bodies)
-        p = jnp.asarray(lv.parents)
-        add = jnp.where((p > 0)[:, None], total[b], 0.0)
-        total = total.at[p].add(add)
+        live = [(b, p) for b, p in zip(lv.bodies, lv.parents) if p > 0]
+        if not live:
+            continue
+        bs = tuple(b for b, _ in live)
+        ps = tuple(p for _, p in live)
+        total = add_rows(total, ps, take_rows(total, bs))
 
     qfrc_bias = jnp.zeros(m.nv, dtype)
     hinge_j = [j for j in range(m.njnt) if m.jnt_type[j] == JNT_HINGE]
     if hinge_j:
-        dadr = jnp.asarray([m.jnt_dofadr[j] for j in hinge_j])
-        bb = jnp.asarray([m.jnt_bodyid[j] for j in hinge_j])
-        qfrc_bias = qfrc_bias.at[dadr].set(
-            jnp.sum(com.cdof[dadr] * total[bb], axis=1)
+        dadr = tuple(m.jnt_dofadr[j] for j in hinge_j)
+        bb = tuple(m.jnt_bodyid[j] for j in hinge_j)
+        qfrc_bias = set_rows(
+            qfrc_bias,
+            dadr,
+            jnp.sum(take_rows(com.cdof, dadr) * take_rows(total, bb), axis=1),
         )
     for j in range(m.njnt):
         if m.jnt_type[j] != JNT_FREE:
@@ -378,10 +386,10 @@ def actuation(
     clipped to forcerange (/root/reference/pupperv3_mjx/environment.py:170-174,
     test_pupper_model.xml:42-43).
     """
-    qadr = jnp.asarray([m.jnt_qposadr[j] for j in m.actuator_jntid], jnp.int32)
-    dadr = jnp.asarray([m.jnt_dofadr[j] for j in m.actuator_jntid], jnp.int32)
-    length = qpos[qadr]
-    velocity = qvel[dadr]
+    qadr = tuple(m.jnt_qposadr[j] for j in m.actuator_jntid)
+    dadr = tuple(m.jnt_dofadr[j] for j in m.actuator_jntid)
+    length = take_rows(qpos, qadr)
+    velocity = take_rows(qvel, dadr)
     bias = (
         m.actuator_biasprm[:, 0]
         + m.actuator_biasprm[:, 1] * length
@@ -389,4 +397,4 @@ def actuation(
     )
     force = m.actuator_gainprm[:, 0] * ctrl + bias
     force = jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1])
-    return jnp.zeros(m.nv, qpos.dtype).at[dadr].add(force)
+    return add_rows(jnp.zeros(m.nv, qpos.dtype), dadr, force)

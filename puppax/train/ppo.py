@@ -121,8 +121,19 @@ def train(
     policy_params_fn: Callable[..., None] = lambda *args: None,
     eval_env=None,
     devices=None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
 ):
     """Train a PPO policy; returns (make_policy, params, metrics).
+
+    ``checkpoint_dir`` enables full train-state checkpointing (params +
+    optimizer + normalizer + env_steps) at every eval epoch under
+    ``<checkpoint_dir>/state/<env_steps>/`` (the ``state/`` subdir keeps
+    it apart from export-style param checkpoints a ``policy_params_fn``
+    may write at ``<checkpoint_dir>/<step>/``); with ``resume=True``
+    training restarts from the latest such checkpoint (envs re-reset —
+    rollout state is regenerated, which PPO's on-policy updates
+    tolerate).
 
     ``params`` is ``(normalizer_state, PPONetworkParams)``; pass
     ``(params[0], params[1].policy)`` to ``make_policy`` — the reference's
@@ -378,6 +389,17 @@ def train(
         normalizer_params=running_statistics.init_state(obs_size),
         env_steps=jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32),
     )
+    if resume and checkpoint_dir is not None:
+        import os as _os
+
+        from puppax.train import checkpoint as ckpt_lib
+
+        state_dir = _os.path.join(str(checkpoint_dir), "state")
+        step = ckpt_lib.latest_checkpoint_step(state_dir)
+        if step is not None:
+            training_state = ckpt_lib.restore_checkpoint(
+                state_dir, step=step, target=training_state
+            )
     training_state = jax.device_put(training_state, replicated)
 
     reset_fn = jax.jit(env.reset, out_shardings=env_sharded)
@@ -414,6 +436,8 @@ def train(
         all_metrics = metrics
 
     for _ in range(num_evals_after_init):
+        if int(jax.device_get(training_state.env_steps)) >= num_timesteps:
+            break  # resumed past the target
         key, epoch_key = jax.random.split(key)
         t = time.perf_counter()
         training_state, env_state, train_metrics = epoch_fn(
@@ -438,6 +462,16 @@ def train(
         all_metrics = metrics
         progress_fn(current_step, metrics)
         policy_params_fn(current_step, make_policy, _callback_params(training_state))
+        if checkpoint_dir is not None:
+            import os as _os
+
+            from puppax.train import checkpoint as ckpt_lib
+
+            ckpt_lib.save_checkpoint(
+                current_step,
+                jax.device_get(training_state),
+                _os.path.join(str(checkpoint_dir), "state"),
+            )
 
     params = (training_state.normalizer_params, training_state.params)
     return make_policy, params, all_metrics

@@ -39,6 +39,11 @@ def main():
         help="dotted-path override, e.g. train.num_envs=8192",
     )
     parser.add_argument("--wandb", action="store_true", help="log to wandb too")
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume from the latest train-state checkpoint in "
+             "train.checkpoint_path (params + optimizer + normalizer)",
+    )
     args = parser.parse_args()
 
     from puppax.configs import experiment as exp
@@ -166,6 +171,8 @@ def main():
         randomization_fn=randomization_fn,
         progress_fn=progress,
         policy_params_fn=policy_params_fn,
+        checkpoint_dir=t.checkpoint_path,
+        resume=args.resume,
     )
     print(json.dumps({k: v for k, v in metrics.items()}, default=float, indent=2))
     if t.checkpoint_path:

@@ -1,0 +1,122 @@
+"""Multi-device sharding tests + seed-0 golden-trace regression.
+
+Sharding invariance (SURVEY §7 test plan: 'same result for 1xN and
+2xN/2 meshes') runs on the virtual 8-device CPU mesh from conftest; the
+golden trace pins the env's RNG-stream order (SURVEY §7 hard-parts #2) —
+any change to the split sequence in reset/step/_get_obs shifts these
+values and fails loudly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from puppax.configs import get_config
+from puppax.env import PupperV3Env
+from puppax.parallel import env_sharding, make_env_mesh, replicated_sharding
+
+
+@pytest.fixture(scope="module")
+def env():
+    return PupperV3Env(
+        path=None,
+        reward_config=get_config(),
+        action_scale=0.75,
+        observation_history=2,
+        maximum_pitch_command=10.0,
+        maximum_roll_command=10.0,
+    )
+
+
+def test_mesh_construction():
+    mesh = make_env_mesh()
+    assert mesh.size == len(jax.devices())
+    assert mesh.axis_names == ("env",)
+    assert env_sharding(mesh).spec == jax.sharding.PartitionSpec("env")
+    assert replicated_sharding(mesh).spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_rollout_matches_single_device(env):
+    """Stepping an env batch sharded over 8 devices must produce the same
+    trajectory as unsharded execution (no cross-env coupling). Tolerance
+    is tight-but-not-bitwise: the sharded program compiles separately, and
+    different XLA fusion decisions reorder float ops at the ~1e-7 level."""
+    n = 8
+    mesh = make_env_mesh()
+    sharded = env_sharding(mesh)
+
+    rngs = jax.random.split(jax.random.PRNGKey(7), n)
+    batched_reset = jax.jit(jax.vmap(env.reset))
+    batched_step = jax.jit(jax.vmap(env.step))
+
+    actions = jax.random.uniform(
+        jax.random.PRNGKey(8), (3, n, 12), minval=-1.0, maxval=1.0
+    )
+
+    # single-device (default placement)
+    state_a = batched_reset(rngs)
+    traj_a = []
+    for t in range(3):
+        state_a = batched_step(state_a, actions[t])
+        traj_a.append((np.asarray(state_a.obs), np.asarray(state_a.reward)))
+
+    # sharded over the env axis
+    sharded_reset = jax.jit(jax.vmap(env.reset), out_shardings=sharded)
+    state_b = sharded_reset(jax.device_put(rngs, sharded))
+    traj_b = []
+    for t in range(3):
+        state_b = batched_step(state_b, jax.device_put(actions[t], sharded))
+        traj_b.append((np.asarray(state_b.obs), np.asarray(state_b.reward)))
+
+    for (obs_a, rew_a), (obs_b, rew_b) in zip(traj_a, traj_b):
+        np.testing.assert_allclose(obs_a, obs_b, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(rew_a, rew_b, rtol=1e-4, atol=1e-5)
+
+
+def test_seed0_golden_trace(env):
+    """Zero-action rollout at PRNGKey(0): pinned obs/reward trajectory
+    (regenerate goldens only for intentional RNG-stream changes)."""
+    step = jax.jit(env.step)
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+
+    golden_obs0 = np.array(
+        [
+            -0.2374257892370224, -0.09360745549201965, -0.22135964035987854,
+            -0.049355585128068924, 0.043280232697725296, -0.9978429675102234,
+            -0.6137461066246033, 0.2516382932662964,
+        ]
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.obs[:8]), golden_obs0, rtol=1e-5, atol=1e-6
+    )
+    # sampled command is part of the RNG-stream contract
+    np.testing.assert_allclose(
+        np.asarray(state.info["command"]),
+        [-0.6137461066246033, 0.2516382932662964, 1.806523323059082],
+        rtol=1e-5,
+    )
+
+    # goldens generated under this exact test environment. Steps 0-1 are
+    # pre-landing (tight); contacts engage at ~t=2 and amplify fp-level
+    # compiler differences chaotically, so later steps get loose bounds —
+    # an RNG-stream change still shifts them by O(1), far beyond 10%.
+    golden_rews = [
+        0.004184, 0.0, 0.003809, 0.00606, 0.006488,
+        0.006584, 0.006551, 0.00647, 0.006359, 0.006226,
+    ]
+    golden_obs_sums = [
+        -1.82659, -1.10518, -1.04849, -1.33674, -1.22064,
+        -1.42401, -0.43675, 0.32977, 0.20038, 0.03146,
+    ]
+    for t in range(10):
+        state = step(state, jnp.zeros(12))
+        assert float(state.done) == 0.0
+        rtol = 1e-3 if t < 2 else 0.1
+        atol = 1e-5 if t < 2 else 0.1
+        np.testing.assert_allclose(
+            float(state.reward), golden_rews[t], rtol=rtol, atol=atol
+        )
+        np.testing.assert_allclose(
+            float(jnp.sum(state.obs)), golden_obs_sums[t], rtol=rtol, atol=atol
+        )

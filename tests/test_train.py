@@ -142,3 +142,48 @@ def test_ppo_train_smoke_multidevice():
     policy = make_policy((normalizer, net_params.policy), deterministic=True)
     act, _ = policy(jnp.zeros(env.observation_size), jax.random.PRNGKey(0))
     assert act.shape == (12,)
+
+
+@pytest.mark.slow
+def test_ppo_checkpoint_resume(tmp_path):
+    """Full train-state checkpointing + resume: a resumed run restores the
+    exact params saved at the last eval epoch (SURVEY §5 checkpoint gap)."""
+    import functools
+
+    from puppax.train import make_ppo_networks
+
+    env = PupperV3Env(
+        path=None,
+        reward_config=get_config(),
+        action_scale=0.75,
+        observation_history=1,
+    )
+    net_factory = functools.partial(
+        make_ppo_networks,
+        policy_hidden_layer_sizes=(8,),
+        value_hidden_layer_sizes=(8,),
+    )
+    kwargs = dict(
+        episode_length=8,
+        num_envs=8,
+        num_eval_envs=8,
+        unroll_length=4,
+        batch_size=4,
+        num_minibatches=2,
+        num_updates_per_batch=1,
+        num_evals=2,
+        seed=1,
+        network_factory=net_factory,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    steps_per = 4 * 4 * 2  # batch*unroll*minibatches
+    _, params1, _ = ppo.train(env, num_timesteps=steps_per, **kwargs)
+
+    # resume with the same target: restores and stops without training
+    _, params2, _ = ppo.train(
+        env, num_timesteps=steps_per, resume=True, **kwargs
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params1[1]), jax.tree_util.tree_leaves(params2[1])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
