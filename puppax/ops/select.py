@@ -18,8 +18,16 @@ from __future__ import annotations
 import functools
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# One-hot contractions MUST run at full f32: TPU MXU matmuls default to
+# bf16 and round BOTH operands, so even a multiply-by-exactly-1.0
+# selection would silently quantize the selected values to bf16
+# (measured: 4.7e-4 qpos error per physics step -> NaN blowups within a
+# few env steps).
+_P = jax.lax.Precision.HIGHEST
 
 
 @functools.lru_cache(maxsize=None)
@@ -44,7 +52,7 @@ def take_rows(x: jnp.ndarray, idx: Sequence[int]) -> jnp.ndarray:
     """x[idx] for static idx: (n, ...) -> (k, ...) via one-hot einsum."""
     t = _as_tuple(idx)
     sel = jnp.asarray(_onehot(t, x.shape[0]), x.dtype)
-    return jnp.einsum("kn,n...->k...", sel, x)
+    return jnp.einsum("kn,n...->k...", sel, x, precision=_P)
 
 
 def set_rows(x: jnp.ndarray, idx: Sequence[int], values: jnp.ndarray) -> jnp.ndarray:
@@ -52,7 +60,7 @@ def set_rows(x: jnp.ndarray, idx: Sequence[int], values: jnp.ndarray) -> jnp.nda
     t = _as_tuple(idx)
     n = x.shape[0]
     sel = jnp.asarray(_onehot(t, n), x.dtype)
-    scattered = jnp.einsum("kn,k...->n...", sel, values)
+    scattered = jnp.einsum("kn,k...->n...", sel, values, precision=_P)
     keep = 1.0 - jnp.asarray(_mask(t, n), x.dtype).reshape(
         (n,) + (1,) * (x.ndim - 1)
     )
@@ -63,4 +71,4 @@ def add_rows(x: jnp.ndarray, idx: Sequence[int], values: jnp.ndarray) -> jnp.nda
     """x.at[idx].add(values) for static idx (duplicates accumulate)."""
     t = _as_tuple(idx)
     sel = jnp.asarray(_onehot(t, x.shape[0]), x.dtype)
-    return x + jnp.einsum("kn,k...->n...", sel, values)
+    return x + jnp.einsum("kn,k...->n...", sel, values, precision=_P)

@@ -62,7 +62,12 @@ def _take(x: jnp.ndarray, idx: Sequence[int]) -> jnp.ndarray:
     idx = np.asarray(idx, np.int64)
     sel = np.zeros((len(idx), x.shape[0]), np.float32)
     sel[np.arange(len(idx)), idx] = 1.0
-    return jnp.einsum("kn,n...->k...", jnp.asarray(sel, x.dtype), x)
+    return jnp.einsum(
+        "kn,n...->k...",
+        jnp.asarray(sel, x.dtype),
+        x,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _make_frames(n: jnp.ndarray) -> jnp.ndarray:

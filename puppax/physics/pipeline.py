@@ -62,24 +62,31 @@ class PhysicsState:
 
 
 def forward(m: RobotModel, qpos: jnp.ndarray, qvel: jnp.ndarray, ctrl):
-    """One full forward-dynamics pass; returns (qacc, caches)."""
-    kin = smooth.kinematics(m, qpos)
-    com = smooth.com_pos(m, kin)
-    vel = smooth.com_vel(m, com, qvel)
-    qM = smooth.crb(m, com)
-    qfrc_bias = smooth.rne(m, com, vel, qvel)
-    qfrc_passive = smooth.passive(m, qvel)
-    qfrc_actuator = smooth.actuation(m, qpos, qvel, ctrl)
-    qfrc_smooth = qfrc_passive + qfrc_actuator - qfrc_bias
+    """One full forward-dynamics pass; returns (qacc, caches).
 
-    # unrolled small-SPD solve (ops/linalg): ~4x faster than XLA's
-    # generic batched Cholesky on TPU for these tiny systems
-    qacc_smooth = linalg.spd_solve(qM, qfrc_smooth)
+    The whole pass runs under matmul precision 'highest': TPU MXU matmuls
+    default to bf16 operand rounding, which corrupts the mass matrix /
+    constraint Jacobians enough to NaN the Newton solve within a few env
+    steps (MJX documents the same requirement).
+    """
+    with jax.default_matmul_precision("highest"):
+        kin = smooth.kinematics(m, qpos)
+        com = smooth.com_pos(m, kin)
+        vel = smooth.com_vel(m, com, qvel)
+        qM = smooth.crb(m, com)
+        qfrc_bias = smooth.rne(m, com, vel, qvel)
+        qfrc_passive = smooth.passive(m, qvel)
+        qfrc_actuator = smooth.actuation(m, qpos, qvel, ctrl)
+        qfrc_smooth = qfrc_passive + qfrc_actuator - qfrc_bias
 
-    contacts = collision.collide(m, kin)
-    efc = constraint.make_efc(m, com, qpos, qvel, contacts)
-    res = solver.solve(m, qM, qacc_smooth, efc)
-    return res.qacc, (kin, com, vel, contacts, qfrc_actuator)
+        # unrolled small-SPD solve (ops/linalg): ~4x faster than XLA's
+        # generic batched Cholesky on TPU for these tiny systems
+        qacc_smooth = linalg.spd_solve(qM, qfrc_smooth)
+
+        contacts = collision.collide(m, kin)
+        efc = constraint.make_efc(m, com, qpos, qvel, contacts)
+        res = solver.solve(m, qM, qacc_smooth, efc)
+        return res.qacc, (kin, com, vel, contacts, qfrc_actuator)
 
 
 def _make_state(m, qpos, qvel, qacc, caches) -> PhysicsState:
