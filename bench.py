@@ -56,6 +56,10 @@ def main():
     # warmup/compile
     state, rng = rollout_block(state, rng)
     jax.block_until_ready(state.obs)
+    # numerics guard: a fast-but-wrong engine must not produce a score
+    # (bf16 matmul rounding once NaN'd physics while the bench kept timing)
+    assert bool(jnp.all(jnp.isfinite(state.obs))), "non-finite obs in rollout"
+    assert bool(jnp.all(jnp.isfinite(state.pipeline_state.qpos))), "non-finite qpos"
 
     best = 0.0
     for _ in range(3):
