@@ -34,12 +34,19 @@ class Transition:
     next_observation: jnp.ndarray
     truncation: jnp.ndarray  # episode cut off at horizon (not a failure)
     policy_extras: Dict[str, jnp.ndarray]  # log_prob, raw_action (pre-tanh)
+    metrics: Dict[str, jnp.ndarray] = struct.field(default_factory=dict)
 
 
 def actor_step(
-    env, env_state: State, policy: Policy, key: jax.Array
+    env,
+    env_state: State,
+    policy: Policy,
+    key: jax.Array,
+    collect_metrics: bool = False,
 ) -> Tuple[State, Transition]:
-    """One policy step on a batched env."""
+    """One policy step on a batched env. ``collect_metrics`` additionally
+    records the env's per-step metrics dict (eval only — it widens the
+    rollout pytree, so the training path leaves it off)."""
     actions, policy_extras = policy(env_state.obs, key)
     next_state = env.step(env_state, actions)
     return next_state, Transition(
@@ -50,11 +57,17 @@ def actor_step(
         next_observation=next_state.obs,
         truncation=next_state.info["truncation"],
         policy_extras=policy_extras,
+        metrics=dict(next_state.metrics) if collect_metrics else {},
     )
 
 
 def generate_unroll(
-    env, env_state: State, policy: Policy, key: jax.Array, unroll_length: int
+    env,
+    env_state: State,
+    policy: Policy,
+    key: jax.Array,
+    unroll_length: int,
+    collect_metrics: bool = False,
 ) -> Tuple[State, Transition]:
     """Scan ``unroll_length`` actor steps; returns (final_state, stacked
     transitions with leading time axis)."""
@@ -62,7 +75,9 @@ def generate_unroll(
     def f(carry, _):
         state, current_key = carry
         current_key, next_key = jax.random.split(current_key)
-        next_state, transition = actor_step(env, state, policy, current_key)
+        next_state, transition = actor_step(
+            env, state, policy, current_key, collect_metrics=collect_metrics
+        )
         return (next_state, next_key), transition
 
     (final_state, _), data = jax.lax.scan(
@@ -96,7 +111,12 @@ class Evaluator:
             eval_state = eval_env.reset(reset_keys)
             policy = eval_policy_factory(policy_params)
             final_state, data = generate_unroll(
-                eval_env, eval_state, policy, key, self._episode_steps
+                eval_env,
+                eval_state,
+                policy,
+                key,
+                self._episode_steps,
+                collect_metrics=True,
             )
             # per-episode sums: mask everything after the first done
             done_mask = jnp.cumsum(data.discount < 0.5, axis=0)
@@ -110,8 +130,19 @@ class Evaluator:
                 "eval/episode_reward_std": jnp.std(episode_reward),
                 "eval/avg_episode_length": jnp.mean(episode_length_steps),
             }
-            for name, value in final_state.metrics.items():
-                metrics[f"eval/episode_{name}"] = jnp.mean(value)
+            # per-term episode sums over the active window (brax evaluator
+            # semantics: eval/episode_<metric> = mean over envs of the
+            # per-episode summed metric)
+            for name, series in data.metrics.items():
+                if name == "total_dist":
+                    # a gauge, not a rate: report the end-of-episode value
+                    metrics["eval/episode_total_dist"] = jnp.mean(
+                        final_state.metrics[name]
+                    )
+                    continue
+                metrics[f"eval/episode_{name}"] = jnp.mean(
+                    jnp.sum(series * active, axis=0)
+                )
             return metrics
 
         self._eval_unroll = jax.jit(eval_unroll)
