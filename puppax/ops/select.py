@@ -48,27 +48,51 @@ def _as_tuple(idx) -> tuple:
     return tuple(int(i) for i in np.asarray(idx).reshape(-1))
 
 
+# Selection backend: 'einsum' contracts on the MXU at HIGHEST precision
+# (6-pass f32); 'vpu' uses broadcast-where-sum on the VPU (exact by
+# construction). Both are exact; which is faster depends on shapes —
+# switchable for benchmarking via PUPPAX_SELECT_IMPL.
+import os as _os
+
+_IMPL = _os.environ.get("PUPPAX_SELECT_IMPL", "einsum")
+
+
 def take_rows(x: jnp.ndarray, idx: Sequence[int]) -> jnp.ndarray:
-    """x[idx] for static idx: (n, ...) -> (k, ...) via one-hot einsum."""
+    """x[idx] for static idx: (n, ...) -> (k, ...), gather-free."""
     t = _as_tuple(idx)
+    if _IMPL == "vpu":
+        sel = _onehot(t, x.shape[0]).astype(bool)  # np (k, n)
+        selb = jnp.asarray(sel.reshape(sel.shape + (1,) * (x.ndim - 1)))
+        picked = jnp.where(selb, x[None], jnp.zeros((), x.dtype))
+        return jnp.sum(picked, axis=1)
     sel = jnp.asarray(_onehot(t, x.shape[0]), x.dtype)
     return jnp.einsum("kn,n...->k...", sel, x, precision=_P)
+
+
+def _scatter(t: tuple, n: int, values: jnp.ndarray) -> jnp.ndarray:
+    """One-hot scatter of (k, ...) values into (n, ...) (zeros elsewhere)."""
+    if _IMPL == "vpu":
+        sel = _onehot(t, n).astype(bool)  # (k, n)
+        selb = jnp.asarray(
+            sel.reshape(sel.shape + (1,) * (values.ndim - 1))
+        )
+        expanded = jnp.where(selb, values[:, None], jnp.zeros((), values.dtype))
+        return jnp.sum(expanded, axis=0)
+    sel = jnp.asarray(_onehot(t, n), values.dtype)
+    return jnp.einsum("kn,k...->n...", sel, values, precision=_P)
 
 
 def set_rows(x: jnp.ndarray, idx: Sequence[int], values: jnp.ndarray) -> jnp.ndarray:
     """x.at[idx].set(values) for static, duplicate-free idx."""
     t = _as_tuple(idx)
     n = x.shape[0]
-    sel = jnp.asarray(_onehot(t, n), x.dtype)
-    scattered = jnp.einsum("kn,k...->n...", sel, values, precision=_P)
     keep = 1.0 - jnp.asarray(_mask(t, n), x.dtype).reshape(
         (n,) + (1,) * (x.ndim - 1)
     )
-    return x * keep + scattered
+    return x * keep + _scatter(t, n, values)
 
 
 def add_rows(x: jnp.ndarray, idx: Sequence[int], values: jnp.ndarray) -> jnp.ndarray:
     """x.at[idx].add(values) for static idx (duplicates accumulate)."""
     t = _as_tuple(idx)
-    sel = jnp.asarray(_onehot(t, x.shape[0]), x.dtype)
-    return x + jnp.einsum("kn,k...->n...", sel, values, precision=_P)
+    return x + _scatter(t, x.shape[0], values)
