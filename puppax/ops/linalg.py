@@ -20,6 +20,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def mv(A: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """A @ x for a small (n, m) matrix as a fused multiply-reduce.
+
+    On TPU, small matmuls at f32 precision lower to 6-pass operand-split
+    MXU products that re-read their operands per pass; the broadcast form
+    fuses into one exact-f32 VPU kernel instead.
+    """
+    return jnp.sum(A * x[None, :], axis=-1)
+
+
+def mtv(A: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """A.T @ y for a small (n, m) matrix (fused multiply-reduce)."""
+    return jnp.sum(A * y[:, None], axis=0)
+
+
+def mm_small(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """A @ B for small matrices as a fused multiply-reduce."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
 def cholesky_columns(A: jnp.ndarray) -> list:
     """Columns of the lower Cholesky factor of a small SPD matrix.
 

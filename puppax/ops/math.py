@@ -180,7 +180,13 @@ def transform_inertia_batch(
     instead of per-body scalar assembly (jnp.array-of-scalars + jnp.block
     explode into hundreds of MB of HBM traffic under a 4k env vmap)."""
     dtype = ipos.dtype
-    I3 = jnp.einsum("nij,nj,nkj->nik", imat, diag_inertia, imat)
+    # I3[n,i,k] = sum_j imat[n,i,j] d[n,j] imat[n,k,j] (fused, no MXU)
+    I3 = jnp.sum(
+        imat[..., :, None, :]
+        * diag_inertia[..., None, None, :]
+        * imat[..., None, :, :],
+        axis=-1,
+    )
     c = ipos
     m_ = mass[..., None, None]
     cc = c[..., :, None] * c[..., None, :]
@@ -188,7 +194,10 @@ def transform_inertia_batch(
     eye3 = jnp.eye(3, dtype=dtype)
     # cx cx^T = (c.c) I - c c^T
     top_left = I3 + m_ * (dot * eye3 - cc)
-    cx = jnp.einsum("ijk,nj->nik", jnp.asarray(_EPS3, dtype), c)
+    cx = jnp.sum(
+        jnp.asarray(_EPS3, dtype)[None, :, :, :] * c[..., None, :, None],
+        axis=-2,
+    )
     top_right = m_ * cx
     bottom_left = jnp.swapaxes(top_right, -1, -2)
     bottom_right = m_ * eye3

@@ -156,9 +156,9 @@ def contact_point_jacobian(
     mask_table, rootid_table = _tables(m)[:2]
     dtype = com.cdof.dtype
     oh = jax.nn.one_hot(body, m.nbody, dtype=dtype)  # (nbody,)
-    mask = oh @ jnp.asarray(mask_table, dtype)  # (nv,)
+    mask = jnp.sum(oh[:, None] * jnp.asarray(mask_table, dtype), axis=0)  # (nv,)
     root_coms = take_rows(com.subtree_com, rootid_table)  # (nbody, 3), static
-    offset = point - oh @ root_coms  # (3,)
+    offset = point - jnp.sum(oh[:, None] * root_coms, axis=0)  # (3,)
     jac = com.cdof[:, 3:] + jnp.cross(com.cdof[:, :3], offset[None, :])
     return (jac * mask[:, None]).T  # (3, nv)
 
@@ -223,8 +223,8 @@ def make_efc(
                 n - fric_c[1] * t[1],
             ]
         )  # (4, 3)
-        J4 = dirs @ Jt  # (4, nv)
-        jvel4 = J4 @ qvel
+        J4 = jnp.sum(dirs[:, :, None] * Jt[None, :, :], axis=1)  # (4, nv)
+        jvel4 = jnp.sum(J4 * qvel[None, :], axis=-1)
         mu2 = fric_c * fric_c  # (2,)
         r_t = iw_c * 2.0 * mu2 * (1.0 + mu2) / m.impratio  # (2,)
         r4 = jnp.repeat(r_t, 2)  # facets [t1+, t1-, t2+, t2-]

@@ -311,8 +311,11 @@ def crb(m: RobotModel, com: ComQuantities) -> jnp.ndarray:
         m.nbody, m.nv, m.body_parentid, m.body_jntid, m.jnt_type,
         m.jnt_dofadr, m.jnt_bodyid, m.njnt,
     )
-    F = jnp.einsum("jab,jb->ja", take_rows(crb_inert, dof_body), com.cdof)
-    W = (F @ com.cdof.T) * jnp.asarray(anc, com.cdof.dtype)
+    # fused multiply-reduce forms (see ops.linalg.mv): exact f32 without
+    # the 6-pass MXU expansion of small matmuls
+    F = jnp.sum(take_rows(crb_inert, dof_body) * com.cdof[:, None, :], axis=-1)
+    W = jnp.sum(F[:, None, :] * com.cdof[None, :, :], axis=-1)
+    W = W * jnp.asarray(anc, com.cdof.dtype)
     return W + W.T - jnp.diag(jnp.diag(W)) + jnp.diag(m.dof_armature)
 
 
@@ -340,8 +343,8 @@ def rne(
         cacc = set_rows(cacc, lv.bodies, a)
 
     # per-body forces: I a + v x* (I v), batched over all bodies
-    Iv = jnp.einsum("bij,bj->bi", com.cinert, vel.cvel)
-    Ia = jnp.einsum("bij,bj->bi", com.cinert, cacc)
+    Iv = jnp.sum(com.cinert * vel.cvel[:, None, :], axis=-1)
+    Ia = jnp.sum(com.cinert * cacc[:, None, :], axis=-1)
     cfrc = Ia + jax.vmap(math.motion_cross_force)(vel.cvel, Iv)
     total = cfrc
     for lv in reversed(_levels(m)):
