@@ -1,0 +1,100 @@
+"""Native (C++) policy-runtime ABI tests: the exported JSON must replay
+identically through the in-tree C++ consumer — the strongest version of
+the deployment round-trip (SURVEY §3.5 parity requirement)."""
+
+import json
+import shutil
+import subprocess
+
+import jax
+import numpy as np
+import pytest
+
+flax_nn = pytest.importorskip("flax.linen")
+
+from puppax.export import convert_params  # noqa: E402
+from puppax.export.native import NativePolicy, build_native_runtime  # noqa: E402
+from puppax.export.params import apply_exported_policy  # noqa: E402
+from puppax.train import make_ppo_networks, running_statistics  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None and shutil.which("make") is None,
+    reason="no C++ toolchain",
+)
+
+
+@pytest.fixture(scope="module")
+def exported_policy(tmp_path_factory):
+    net = make_ppo_networks(
+        72, 12, policy_hidden_layer_sizes=(32, 16), activation=flax_nn.elu
+    )
+    params = net.policy_network.init(jax.random.PRNGKey(11))
+    norm = running_statistics.update(
+        running_statistics.init_state(72),
+        jax.random.normal(jax.random.PRNGKey(12), (128, 72)) * 2.0 + 0.25,
+    )
+    exported = convert_params(
+        (norm, params),
+        activation="elu",
+        action_scale=0.75,
+        kp=5.0,
+        kd=0.25,
+        default_pose=np.zeros(12),
+        joint_upper_limits=np.ones(12),
+        joint_lower_limits=-np.ones(12),
+        use_imu=True,
+        observation_history=2,
+        maximum_pitch_command=0.0,
+        maximum_roll_command=0.0,
+    )
+    path = tmp_path_factory.mktemp("export") / "policy.json"
+    with open(path, "w") as f:
+        json.dump(exported, f)
+    return str(path), exported
+
+
+def test_build_and_load(exported_policy):
+    path, exported = exported_policy
+    build_native_runtime()
+    policy = NativePolicy(path)
+    assert policy.in_dim == 72
+    assert policy.out_dim == 12
+    policy.close()
+
+
+def test_native_matches_python_replay(exported_policy):
+    path, exported = exported_policy
+    policy = NativePolicy(path)
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        obs = rng.standard_normal(72).astype(np.float32)
+        native_out = policy(obs)
+        python_out = apply_exported_policy(exported, obs)
+        np.testing.assert_allclose(native_out, python_out, rtol=1e-5, atol=1e-6)
+        assert np.all(np.abs(native_out) <= 1.0)  # tanh head
+    policy.close()
+
+
+def test_native_rejects_garbage(tmp_path):
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"layers": "nope"}')
+    build_native_runtime()
+    with pytest.raises(ValueError):
+        NativePolicy(str(bad))
+
+
+def test_pretrained_artifact_loads_in_native_runtime():
+    """The committed pretrained policy must stay consumable by the C++
+    runtime (guards the ABI against accidental format drift)."""
+    import os
+
+    artifact = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "pretrained_pupper_policy.json"
+    )
+    if not os.path.exists(artifact):
+        pytest.skip("no pretrained artifact")
+    policy = NativePolicy(artifact)
+    out = policy(np.zeros(policy.in_dim, np.float32))
+    assert out.shape == (12,)
+    assert np.all(np.isfinite(out))
+    policy.close()
