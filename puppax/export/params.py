@@ -99,7 +99,9 @@ def apply_exported_policy(exported: Dict, observation) -> np.ndarray:
     controller's forward pass, reimplemented for round-trip testing)."""
     activations = {
         "relu": lambda x: np.maximum(x, 0.0),
-        "elu": lambda x: np.where(x > 0, x, np.expm1(x)),
+        # minimum clips the expm1 argument so np.where's eagerly-evaluated
+        # negative branch cannot overflow for large positive inputs
+        "elu": lambda x: np.where(x > 0, x, np.expm1(np.minimum(x, 0.0))),
         "tanh": np.tanh,
         "sigmoid": lambda x: 1.0 / (1.0 + np.exp(-x)),
         "swish": lambda x: x / (1.0 + np.exp(-x)),

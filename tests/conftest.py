@@ -17,6 +17,14 @@ import jax  # noqa: E402
 # a sitecustomize in this image pins JAX_PLATFORMS; override via config
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite's cost is dominated by XLA
+# compiles of the fused physics step; caching makes re-runs ~5x faster
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("PUPPAX_TEST_CACHE", "/tmp/puppax_xla_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 
