@@ -1,10 +1,14 @@
-"""Worker for the multi-process jax.distributed test (not a pytest file).
+"""Worker for the multi-process jax.distributed tests (not a pytest file).
 
-Launched as: python tests/distributed_worker.py <process_id> <num_processes>
-<coordinator> <outdir>. Each process owns 4 virtual CPU devices; together
-they form the 8-device global mesh. Exercises the REAL multi-host path:
-distributed init, global mesh, sharded env batch, one batched env step,
-and a global-reduction check that crosses process boundaries.
+Launched as: python tests/distributed_worker.py <process_id>
+<num_processes> <coordinator> <outdir> [mode]. Each process owns 4
+virtual CPU devices; together they form the 8-device global mesh.
+
+mode 'step' (default): sharded env batch, one batched step, and a
+global-reduction agreement check across the process boundary.
+mode 'train': the REAL multi-host learner path — ppo.train with the env
+batch sharded over the global mesh, gradients all-reduced across
+processes; writes the final (replicated) param checksum per process.
 """
 
 import os
@@ -14,6 +18,7 @@ process_id = int(sys.argv[1])
 num_processes = int(sys.argv[2])
 coordinator = sys.argv[3]
 outdir = sys.argv[4]
+mode = sys.argv[5] if len(sys.argv) > 5 else "step"
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
@@ -46,6 +51,35 @@ assert jax.local_device_count() == 4
 env = PupperV3Env(
     path=None, reward_config=get_config(), action_scale=0.75, observation_history=2
 )
+
+if mode == "train":
+    from puppax.train import ppo
+
+    n = jax.device_count()
+    _, params, metrics = ppo.train(
+        env,
+        num_timesteps=2 * n * 4 * 2,
+        episode_length=8,
+        num_envs=2 * n,
+        num_eval_envs=4,
+        unroll_length=4,
+        batch_size=n,
+        num_minibatches=2,
+        num_updates_per_batch=1,
+        num_evals=1,
+        seed=0,
+    )
+    # params are replicated over the global mesh: every process must hold
+    # the identical post-all-reduce values
+    leaves = jax.tree_util.tree_leaves(params[1])
+    checksum = float(sum(jnp.sum(jnp.abs(x)) for x in leaves))
+    reward = float(metrics.get("eval/episode_reward", float("nan")))
+    assert np.isfinite(checksum)
+    with open(os.path.join(outdir, f"train{process_id}.txt"), "w") as f:
+        f.write(f"{checksum:.6f} {reward:.6f}\n")
+    print(f"proc {process_id}: train ok checksum={checksum:.6f}")
+    sys.exit(0)
+
 mesh = make_env_mesh()
 sharded = env_sharding(mesh)
 
