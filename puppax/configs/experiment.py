@@ -67,6 +67,13 @@ class EnvConfig:
     obstacle_y_range: Tuple[float, float] = (-5.0, 5.0)
     obstacle_height: float = 0.02
     obstacle_length: float = 3.0
+    # heightfield rough terrain (terrain.py): False disables
+    heightfield: bool = False
+    heightfield_seed: int = 0
+    heightfield_nrow: int = 32
+    heightfield_ncol: int = 32
+    # mujoco hfield size: (radius_x, radius_y, elevation_z, base_z)
+    heightfield_size: Tuple[float, float, float, float] = (4.0, 4.0, 0.04, 0.01)
 
 
 @dataclass(frozen=True)

@@ -9,6 +9,10 @@ terrain that the reference provides
 
 from puppax.model.mjcf import CompiledModel, RobotModel, load_model  # noqa: F401
 from puppax.model.obstacles import add_boxes_to_model  # noqa: F401
+from puppax.model.terrain import (  # noqa: F401
+    add_heightfield_to_model,
+    generate_heights,
+)
 from puppax.model.surgery import (  # noqa: F401
     set_mjx_custom_options,
     set_robot_starting_position,

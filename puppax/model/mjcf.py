@@ -25,6 +25,7 @@ from flax import struct
 
 # mujoco geom type enum values we support
 GEOM_PLANE = int(mujoco.mjtGeom.mjGEOM_PLANE)
+GEOM_HFIELD = int(mujoco.mjtGeom.mjGEOM_HFIELD)
 GEOM_SPHERE = int(mujoco.mjtGeom.mjGEOM_SPHERE)
 GEOM_BOX = int(mujoco.mjtGeom.mjGEOM_BOX)
 
@@ -124,6 +125,17 @@ class RobotModel:
     actuator_biasprm: jnp.ndarray  # (nu, 3)  [DR leaf]
     actuator_forcerange: jnp.ndarray  # (nu, 2)
 
+    # ---- heightfield terrain (optional; at most one hfield) ----
+    # static grid topology; 0x0 = no heightfield in the model
+    hfield_nrow: int = struct.field(pytree_node=False, default=0)
+    hfield_ncol: int = struct.field(pytree_node=False, default=0)
+    pairs_hfield_sphere: tuple = struct.field(pytree_node=False, default=())
+    # normalized elevation grid (nrow, ncol) in [0,1]; row r sits at
+    # y = -ry + 2*ry*r/(nrow-1), col c at x = -rx + 2*rx*c/(ncol-1)
+    # (mujoco memory convention, verified empirically against mj_step)
+    hfield_data: Optional[jnp.ndarray] = None
+    hfield_size: Optional[jnp.ndarray] = None  # (4,) rx, ry, elevation_z, base_z
+
     def tree_replace(self, updates: dict) -> "RobotModel":
         """Dotted-path functional update, mirroring brax's System.tree_replace
         API used by the reference (/root/reference/pupperv3_mjx/environment.py:167).
@@ -150,8 +162,8 @@ def _collision_pairs(m: mujoco.MjModel):
     """Static candidate collision pairs, MuJoCo pair-filter semantics:
     contype/conaffinity bitmask match, different bodies, parent-child
     excluded unless the parent is the world body."""
-    plane_sphere, sphere_sphere, sphere_box = [], [], []
-    supported = {GEOM_PLANE, GEOM_SPHERE, GEOM_BOX}
+    plane_sphere, sphere_sphere, sphere_box, hfield_sphere = [], [], [], []
+    supported = {GEOM_PLANE, GEOM_SPHERE, GEOM_BOX, GEOM_HFIELD}
     for g1, g2 in itertools.combinations(range(m.ngeom), 2):
         if not (
             (m.geom_contype[g1] & m.geom_conaffinity[g2])
@@ -181,13 +193,23 @@ def _collision_pairs(m: mujoco.MjModel):
             sphere_sphere.append((ga, gb))
         elif ta == GEOM_SPHERE and tb == GEOM_BOX:
             sphere_box.append((ga, gb))
+        elif ta == GEOM_HFIELD and tb == GEOM_SPHERE:
+            hfield_sphere.append((ga, gb))
         elif ta == GEOM_PLANE and tb == GEOM_BOX:
             # plane-box between world geoms is filtered by same-body above;
             # any other combination is out of scope for this model class
             raise NotImplementedError("plane-box collisions unsupported")
+        elif GEOM_HFIELD in (ta, tb):
+            # hfield vs plane/box are world-static pairs, never dynamic here
+            raise NotImplementedError(f"hfield pair ({ta},{tb}) unsupported")
         else:
             raise NotImplementedError(f"pair ({ta},{tb}) unsupported")
-    return tuple(plane_sphere), tuple(sphere_sphere), tuple(sphere_box)
+    return (
+        tuple(plane_sphere),
+        tuple(sphere_sphere),
+        tuple(sphere_box),
+        tuple(hfield_sphere),
+    )
 
 
 def _custom_numeric(m: mujoco.MjModel, name: str, default: int) -> int:
@@ -208,7 +230,9 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> RobotModel:
         raise NotImplementedError("at most one joint per body supported")
     body_jntid = np.where(m.body_jntnum[:] > 0, m.body_jntadr[:], -1)
 
-    ps, ss, bs = _collision_pairs(m)
+    ps, ss, bs, hs = _collision_pairs(m)
+    if int(m.nhfield) > 1:
+        raise NotImplementedError("at most one heightfield supported")
 
     def arr(x):
         return jnp.asarray(np.asarray(x), dtype=dtype)
@@ -238,6 +262,15 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> RobotModel:
         pairs_plane_sphere=ps,
         pairs_sphere_sphere=ss,
         pairs_sphere_box=bs,
+        pairs_hfield_sphere=hs,
+        hfield_nrow=int(m.hfield_nrow[0]) if m.nhfield else 0,
+        hfield_ncol=int(m.hfield_ncol[0]) if m.nhfield else 0,
+        hfield_data=(
+            arr(m.hfield_data.reshape(int(m.hfield_nrow[0]), int(m.hfield_ncol[0])))
+            if m.nhfield
+            else None
+        ),
+        hfield_size=arr(m.hfield_size[0]) if m.nhfield else None,
         max_contact_points=_custom_numeric(m, "max_contact_points", 8),
         max_geom_pairs=_custom_numeric(m, "max_geom_pairs", 8),
         timestep=float(m.opt.timestep),

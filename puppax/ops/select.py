@@ -33,14 +33,15 @@ _P = jax.lax.Precision.HIGHEST
 @functools.lru_cache(maxsize=None)
 def _onehot(idx: tuple, n: int) -> np.ndarray:
     sel = np.zeros((len(idx), n), np.float32)
-    sel[np.arange(len(idx)), np.asarray(idx)] = 1.0
+    # np.intp: an empty tuple otherwise becomes a float64 array (IndexError)
+    sel[np.arange(len(idx)), np.asarray(idx, np.intp)] = 1.0
     return sel
 
 
 @functools.lru_cache(maxsize=None)
 def _mask(idx: tuple, n: int) -> np.ndarray:
     mask = np.zeros((n,), np.float32)
-    mask[np.asarray(idx)] = 1.0
+    mask[np.asarray(idx, np.intp)] = 1.0
     return mask
 
 

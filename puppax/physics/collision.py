@@ -1,7 +1,8 @@
 """Analytic narrowphase collision for the pupper model class.
 
 Supported pair types (everything the reference model + obstacle terrain
-produces): plane-sphere, sphere-sphere, sphere-box. All candidate pairs are
+produces, plus heightfield terrain): plane-sphere, sphere-sphere,
+sphere-box, hfield-sphere. All candidate pairs are
 evaluated every step with fixed shapes; the reference's MJX contact caps
 (``max_geom_pairs`` per pair type, then ``max_contact_points`` overall,
 /root/reference/test/test_pupper_model.xml:227-230 via
@@ -171,6 +172,65 @@ def _sphere_box(m: RobotModel, kin: Kinematics, g1, g2):
     return dist_local, pos, _make_frames(n)
 
 
+def _hfield_sphere(m: RobotModel, kin: Kinematics, g1, g2):
+    """Batched heightfield(g1) vs sphere(g2).
+
+    TPU-native bilinear-patch narrowphase: the elevation lookup and surface
+    slope at the sphere's footprint are quadratic forms ``w_rᵀ H w_c`` with
+    the interpolation weights folded into row/column one-hot vectors — two
+    small dense contractions instead of dynamic gathers (gathers under a
+    large env vmap are pathological on TPU, see module docstring). The
+    contact is the tangent plane of the bilinear patch at the footprint.
+    On cells whose 4 corners are coplanar this equals MuJoCo's
+    triangulated-prism narrowphase exactly; on saddle cells it is the
+    smooth bilinear interpolant instead of the two triangles.
+    """
+    H = m.hfield_data  # (nrow, ncol) normalized [0,1]
+    dtype = kin.geom_xpos.dtype
+    rx, ry, ez = m.hfield_size[0], m.hfield_size[1], m.hfield_size[2]
+    hf_pos = _take(kin.geom_xpos, g1)
+    hf_mat = _take(kin.geom_xmat, g1)  # (k, 3, 3)
+    center = _take(kin.geom_xpos, g2)
+    r = _take(m.geom_size, g2)[:, 0]
+    # sphere centers in the heightfield frame
+    p = jnp.einsum("kij,ki->kj", hf_mat, center - hf_pos)
+    nrow, ncol = m.hfield_nrow, m.hfield_ncol
+    # fractional grid coordinates of the footprint
+    u = (p[:, 0] + rx) / (2.0 * rx) * (ncol - 1)
+    v = (p[:, 1] + ry) / (2.0 * ry) * (nrow - 1)
+    outside = (jnp.abs(p[:, 0]) > rx) | (jnp.abs(p[:, 1]) > ry)
+    iu = jnp.clip(jnp.floor(u), 0.0, float(ncol - 2))
+    iv = jnp.clip(jnp.floor(v), 0.0, float(nrow - 2))
+    fu = jnp.clip(u - iu, 0.0, 1.0)
+    fv = jnp.clip(v - iv, 0.0, 1.0)
+    cols = jnp.arange(ncol, dtype=dtype)
+    rows = jnp.arange(nrow, dtype=dtype)
+    e_c0 = (cols == iu[:, None]).astype(dtype)
+    e_c1 = (cols == iu[:, None] + 1.0).astype(dtype)
+    e_r0 = (rows == iv[:, None]).astype(dtype)
+    e_r1 = (rows == iv[:, None] + 1.0).astype(dtype)
+    w_c = (1.0 - fu)[:, None] * e_c0 + fu[:, None] * e_c1  # (k, ncol)
+    w_r = (1.0 - fv)[:, None] * e_r0 + fv[:, None] * e_r1  # (k, nrow)
+    d_c = e_c1 - e_c0  # d w_c / d fu
+    d_r = e_r1 - e_r0
+    hi = jax.lax.Precision.HIGHEST
+    h = ez * jnp.einsum("kr,rc,kc->k", w_r, H, w_c, precision=hi)
+    dhdx = ez * jnp.einsum("kr,rc,kc->k", w_r, H, d_c, precision=hi) * (
+        (ncol - 1) / (2.0 * rx)
+    )
+    dhdy = ez * jnp.einsum("kr,rc,kc->k", d_r, H, w_c, precision=hi) * (
+        (nrow - 1) / (2.0 * ry)
+    )
+    n_local = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
+    n_local = n_local / jnp.linalg.norm(n_local, axis=-1, keepdims=True)
+    dist = (p[:, 2] - h) * n_local[:, 2] - r
+    dist = jnp.where(outside, jnp.asarray(_PAD_DIST, dtype), dist)
+    n = jnp.einsum("kij,kj->ki", hf_mat, n_local)
+    safe = jnp.where(outside, jnp.zeros_like(dist), dist)
+    pos = center - n * (r + 0.5 * safe)[:, None]
+    return dist, pos, _make_frames(n)
+
+
 def _top_k_select(items, k):
     """Keep the k most-penetrating rows (ascending dist, first-index ties),
     matching lax.top_k(-dist) order — implemented as k sequential argmins
@@ -205,6 +265,7 @@ def collide(m: RobotModel, kin: Kinematics) -> Contacts:
         (m.pairs_plane_sphere, _plane_sphere),
         (m.pairs_sphere_sphere, _sphere_sphere),
         (m.pairs_sphere_box, _sphere_box),
+        (m.pairs_hfield_sphere, _hfield_sphere),
     ):
         if not pairs:
             continue

@@ -68,17 +68,28 @@ def main():
 
     e = cfg.env
     xml_string = None
-    if e.n_obstacles > 0:
+    if e.n_obstacles > 0 or e.heightfield:
         tree = assets.pupper_xml_tree() if e.path is None else ET.parse(e.path)
-        tree = obstacles.add_boxes_to_model(
-            tree,
-            n_boxes=e.n_obstacles,
-            x_range=e.obstacle_x_range,
-            y_range=e.obstacle_y_range,
-            height=e.obstacle_height,
-            length=e.obstacle_length,
-            seed=e.obstacle_seed,
-        )
+        if e.n_obstacles > 0:
+            tree = obstacles.add_boxes_to_model(
+                tree,
+                n_boxes=e.n_obstacles,
+                x_range=e.obstacle_x_range,
+                y_range=e.obstacle_y_range,
+                height=e.obstacle_height,
+                length=e.obstacle_length,
+                seed=e.obstacle_seed,
+            )
+        if e.heightfield:
+            from puppax.model import terrain
+
+            tree = terrain.add_heightfield_to_model(
+                tree,
+                nrow=e.heightfield_nrow,
+                ncol=e.heightfield_ncol,
+                size=e.heightfield_size,
+                seed=e.heightfield_seed,
+            )
         xml_string = ET.tostring(tree.getroot(), encoding="unicode")
 
     env = PupperV3Env(

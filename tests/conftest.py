@@ -28,8 +28,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="module")
 def x64():
+    """f64 mode for oracle modules. Module-scoped ON PURPOSE: a
+    session-scoped version leaks jax_enable_x64 into every later module,
+    where python-float weak types then promote f32 scan carries to f64
+    (scan carry TypeError in the train smoke)."""
     jax.config.update("jax_enable_x64", True)
     yield
     jax.config.update("jax_enable_x64", False)

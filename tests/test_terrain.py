@@ -1,0 +1,156 @@
+"""Heightfield terrain: generator, surgery, narrowphase vs MuJoCo C, env.
+
+The hfield narrowphase is a bilinear tangent-plane contact; on cells whose
+corners are coplanar (terrain varying along one axis) it must match the
+MuJoCo C prism narrowphase exactly, which is what the oracle tests pin.
+"""
+
+import xml.etree.ElementTree as ET
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+from puppax.configs import get_config
+from puppax.env import PupperV3Env
+from puppax.model.assets import pupper_xml
+from puppax.model.mjcf import load_model
+from puppax.model.terrain import add_heightfield_to_model, generate_heights
+from puppax.physics import collision, pipeline, smooth
+
+
+def test_generate_heights_bounds_and_determinism():
+    h1 = generate_heights(24, 16, seed=3)
+    h2 = generate_heights(24, 16, seed=3)
+    h3 = generate_heights(24, 16, seed=4)
+    assert h1.shape == (24, 16)
+    np.testing.assert_array_equal(h1, h2)
+    assert np.any(h1 != h3)
+    assert h1.min() == 0.0 and h1.max() == 1.0
+
+
+def test_hfield_surgery_compiles_into_model():
+    tree = ET.ElementTree(ET.fromstring(pupper_xml()))
+    # 17x17 grid puts a node exactly at the origin, inside the flat disc
+    tree = add_heightfield_to_model(tree, nrow=17, ncol=17, seed=1)
+    xml = ET.tostring(tree.getroot(), encoding="unicode")
+    cm = load_model(None, xml_string=xml)
+    m = cm.robot
+    assert m.hfield_nrow == 17 and m.hfield_ncol == 17
+    assert m.hfield_data.shape == (17, 17)
+    assert m.hfield_size.shape == (4,)
+    # 8 collision spheres (4 knees + 4 feet) each pair with the terrain
+    assert len(m.pairs_hfield_sphere) == 8
+    # the flat spawn disc survives normalization: origin node at 0
+    assert float(m.hfield_data[8, 8]) == 0.0
+
+
+def _ridge_xml(radius=0.05):
+    """Sphere over a terrain varying along x only: every cell is planar, so
+    bilinear-patch and triangulated-prism narrowphases agree exactly."""
+    # flat basin between cols 2-3 (x in [-0.857, -0.286]) for settle tests
+    heights = np.tile(
+        np.array([0.6, 0.3, 0.0, 0.0, 0.3, 0.6, 0.8, 1.0]), (8, 1)
+    )
+    elevation = " ".join(f"{v:.6f}" for v in heights[::-1].ravel())
+    return f"""
+<mujoco>
+  <option timestep="0.002"/>
+  <asset>
+    <hfield name="terrain" nrow="8" ncol="8" size="2 2 0.3 0.1"
+            elevation="{elevation}"/>
+  </asset>
+  <worldbody>
+    <geom name="terrain_geom" type="hfield" hfield="terrain"
+          contype="1" conaffinity="1" condim="3" friction="0.8 0.02 0.01"/>
+    <body name="ball" pos="0 0 1">
+      <freejoint/>
+      <geom name="ball_geom" type="sphere" size="{radius}" mass="0.5"
+            contype="1" conaffinity="1" condim="3" friction="0.8 0.02 0.01"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def test_hfield_narrowphase_matches_mujoco(x64):
+    xml = _ridge_xml()
+    mj = mujoco.MjModel.from_xml_string(xml)
+    d = mujoco.MjData(mj)
+    cm = load_model(None, dtype=jnp.float64, xml_string=xml)
+    m = cm.robot
+    rng = np.random.default_rng(0)
+    checked = 0
+    for _ in range(40):
+        x, y = rng.uniform(-1.6, 1.6, 2)
+        # place the sphere a little under the local surface
+        d.qpos[:] = mj.key_qpos[0] if mj.nkey else d.qpos
+        d.qpos[0:3] = [x, y, 0.0]
+        mujoco.mj_forward(mj, d)
+        # find the surface by raising until no contact, then penetrate 2 cm
+        for z in np.linspace(0.0, 0.5, 200):
+            d.qpos[2] = z
+            mujoco.mj_forward(mj, d)
+            if d.ncon == 0:
+                break
+        d.qpos[2] = z - 0.022
+        mujoco.mj_forward(mj, d)
+        if d.ncon != 1:
+            continue  # cell-edge configs can yield 2 prism contacts; skip
+        checked += 1
+        kin = smooth.kinematics(m, jnp.asarray(d.qpos))
+        con = collision.collide(m, kin)
+        i = int(np.argmin(np.asarray(con.dist)))
+        c = d.contact[0]
+        np.testing.assert_allclose(float(con.dist[i]), c.dist, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(con.pos[i]), c.pos, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(con.frame[i]).ravel(), c.frame, atol=1e-9
+        )
+    assert checked >= 20
+
+
+def test_sphere_settles_on_hfield(x64):
+    """Drop through OUR pipeline: the sphere must come to rest ON the
+    bilinear surface (no tunnelling, no NaNs), with rest clearance at
+    impedance scale."""
+    xml = _ridge_xml()
+    cm = load_model(None, dtype=jnp.float64, xml_string=xml)
+    m = cm.robot
+    # over the flat basin: settles instead of rolling (condim=3 spheres
+    # have no rolling resistance on a slope)
+    qpos0 = jnp.asarray([-0.55, 0.0, 0.4, 1.0, 0.0, 0.0, 0.0], jnp.float64)
+    state = pipeline.pipeline_init(m, qpos0, jnp.zeros(6, jnp.float64))
+    step = jax.jit(lambda s: pipeline.pipeline_step(m, s, jnp.zeros(0), n_substeps=1))
+    for _ in range(800):
+        state = step(state)
+    q = np.asarray(state.qpos)
+    assert np.all(np.isfinite(q))
+    assert abs(float(state.qvel[2])) < 1e-3  # settled
+    # local surface height at the rest point from the same bilinear form
+    kin = smooth.kinematics(m, state.qpos)
+    con = collision.collide(m, kin)
+    rest_dist = float(np.min(np.asarray(con.dist)))
+    assert -2e-3 < rest_dist < 1e-4  # resting in shallow contact
+
+
+def test_env_runs_on_heightfield_terrain():
+    tree = ET.ElementTree(ET.fromstring(pupper_xml()))
+    tree = add_heightfield_to_model(tree, nrow=16, ncol=16, seed=2)
+    xml = ET.tostring(tree.getroot(), encoding="unicode")
+    env = PupperV3Env(
+        path=None,
+        reward_config=get_config(),
+        action_scale=0.75,
+        observation_history=2,
+        xml_string=xml,
+    )
+    reset = jax.jit(env.reset)
+    step = jax.jit(env.step)
+    state = reset(jax.random.PRNGKey(0))
+    for _ in range(25):
+        state = step(state, jnp.zeros(12))
+    assert bool(jnp.all(jnp.isfinite(state.obs)))
+    assert bool(jnp.isfinite(state.reward))
+    assert bool(jnp.all(jnp.isfinite(state.pipeline_state.qpos)))
