@@ -11,10 +11,20 @@ import sys
 import pytest
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_ENV = dict(os.environ, JAX_PLATFORMS="cpu")
+# share the suite's persistent XLA compilation cache with the subprocess:
+# a cold train-step compile alone is ~6 min on CPU, which made the
+# end-to-end test flaky against its timeout under any machine load
+_ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    JAX_COMPILATION_CACHE_DIR=os.environ.get(
+        "PUPPAX_TEST_CACHE", "/tmp/puppax_xla_cache"
+    ),
+    JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1.0",
+)
 
 
-def _run(args, timeout=900):
+def _run(args, timeout=1500):
     return subprocess.run(
         [sys.executable] + args,
         cwd=_REPO,
