@@ -117,6 +117,9 @@ class TrainConfig:
     value_hidden_layer_sizes: Tuple[int, ...] = (256, 256, 256, 256, 256)
     checkpoint_path: Optional[str] = None
     metrics_jsonl: Optional[str] = None
+    # live training-curve errorbar plot (reference utils.py:97-112); headless
+    # equivalent: re-rendered PNG at this path on every eval epoch
+    progress_plot: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -20,22 +20,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 ENV_AXIS = "env"
 
 
-def maybe_initialize_distributed(**kwargs) -> None:
+def maybe_initialize_distributed(**kwargs) -> bool:
     """Bootstrap multi-host JAX (jax.distributed) if running under a
     multi-process launcher; a no-op in single-process runs.
 
-    The coordinator address / process count come from the TPU runtime
-    environment; callers on GKE/GCE pods call this once before any JAX op.
+    Must run before ANY backend-initializing JAX call (``jax.devices()``,
+    ``jax.process_count()``, the first op...) — so the launcher decision is
+    made purely from the environment: explicit ``kwargs``, a
+    ``COORDINATOR_ADDRESS`` env var (with optional ``NUM_PROCESSES`` /
+    ``PROCESS_ID``), or a cluster env jax auto-detects (GKE/Slurm). Returns
+    True when the distributed runtime is (or already was) live. Failures
+    RAISE — a silently-single-host process in a pod job corrupts training.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        import os
+    import os
 
-        if "COORDINATOR_ADDRESS" in os.environ:
-            jax.distributed.initialize(**kwargs)
-    except Exception:
-        pass
+    if jax.distributed.is_initialized():
+        return True
+    coordinator = kwargs.get("coordinator_address") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    if coordinator is None:
+        return False  # single-process run: leave the local backend alone
+    kwargs.setdefault("coordinator_address", coordinator)
+    if "NUM_PROCESSES" in os.environ:
+        kwargs.setdefault("num_processes", int(os.environ["NUM_PROCESSES"]))
+    if "PROCESS_ID" in os.environ:
+        kwargs.setdefault("process_id", int(os.environ["PROCESS_ID"]))
+    jax.distributed.initialize(**kwargs)
+    return True
 
 
 def make_env_mesh(devices: Optional[list] = None) -> Mesh:

@@ -53,16 +53,43 @@ def _is_scalar(v) -> bool:
         return False
 
 
+def plot_progress_curve(
+    x_data: List, y_data: List, ydataerr: List, path: str, max_y: float = 40.0
+) -> None:
+    """Render the eval-reward errorbar curve to ``path`` (PNG).
+
+    Headless equivalent of the reference's live matplotlib display
+    (/root/reference/pupperv3_mjx/utils.py:97-112): same errorbar plot and
+    axis labels, re-rendered to a file each eval epoch instead of inline.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    ax.set_xlabel("# environment steps")
+    ax.set_ylabel("reward per episode")
+    if x_data:
+        ax.set_title(f"y={y_data[-1]:.3f}")
+        ax.set_ylim([min(0.0, min(y_data)), max(max_y, max(y_data) * 1.25)])
+    ax.errorbar(x_data, y_data, yerr=ydataerr)
+    fig.savefig(path)
+    plt.close(fig)
+
+
 def make_progress_fn(
     logger: MetricsLogger,
     times: Optional[List] = None,
     x_data: Optional[List] = None,
     y_data: Optional[List] = None,
     ydataerr: Optional[List] = None,
+    plot_path: Optional[str] = None,
 ):
     """Build a ``progress_fn(step, metrics)`` that appends the eval-reward
-    curve (the reference ``progress`` contract, utils.py:72-112, minus the
-    interactive matplotlib display — plotting lives in tools.plotting)."""
+    curve (the reference ``progress`` contract, utils.py:72-112). When
+    ``plot_path`` is set, the errorbar curve is re-rendered there each call
+    (the headless stand-in for the reference's inline display)."""
     times = times if times is not None else []
     x_data = x_data if x_data is not None else []
     y_data = y_data if y_data is not None else []
@@ -74,6 +101,11 @@ def make_progress_fn(
             x_data.append(num_steps)
             y_data.append(float(metrics["eval/episode_reward"]))
             ydataerr.append(float(metrics.get("eval/episode_reward_std", 0.0)))
+            if plot_path is not None:
+                try:
+                    plot_progress_curve(x_data, y_data, ydataerr, plot_path)
+                except ImportError:
+                    pass  # matplotlib is an optional host-side extra
         logger.log(metrics, step=num_steps)
 
     progress.times = times

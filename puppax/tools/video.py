@@ -15,6 +15,12 @@ import subprocess
 import tempfile
 from typing import List, Optional, Sequence
 
+# On a headless host mujoco's default GLFW backend probes for a display
+# and can BLOCK indefinitely (observed hanging the test suite); EGL fails
+# fast when no GL is available and works headless when a GPU exists.
+if not os.environ.get("MUJOCO_GL") and not os.environ.get("DISPLAY"):
+    os.environ["MUJOCO_GL"] = "egl"
+
 import mujoco
 import numpy as np
 

@@ -107,14 +107,17 @@ class Evaluator:
         self._episode_steps = episode_length // action_repeat
 
         def eval_unroll(policy_params, key):
-            reset_keys = jax.random.split(key, num_eval_envs)
+            # distinct streams: reusing one key for both reset and the
+            # action-noise unroll correlates them (ADVICE r1)
+            key_reset, key_unroll = jax.random.split(key)
+            reset_keys = jax.random.split(key_reset, num_eval_envs)
             eval_state = eval_env.reset(reset_keys)
             policy = eval_policy_factory(policy_params)
             final_state, data = generate_unroll(
                 eval_env,
                 eval_state,
                 policy,
-                key,
+                key_unroll,
                 self._episode_steps,
                 collect_metrics=True,
             )

@@ -44,12 +44,42 @@ from puppax.train.acting import Transition
 Metrics = Dict[str, jnp.ndarray]
 
 
+_STEP_BASE = 2**30
+
+
+@struct.dataclass
+class StepCount:
+    """int64-safe step counter as two int32 limbs (base 2**30).
+
+    Training never enables jax_enable_x64, so a plain int32 counter wraps
+    negative at ~2.15 B env steps — one doubling past the 1 B runs already
+    on record (ADVICE r1). Two limbs count to 2**60 without x64.
+    """
+
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+    @classmethod
+    def zero(cls) -> "StepCount":
+        return cls(hi=jnp.zeros((), jnp.int32), lo=jnp.zeros((), jnp.int32))
+
+    def add(self, inc: int) -> "StepCount":
+        if not 0 <= inc < _STEP_BASE:
+            raise ValueError(f"increment {inc} out of range [0, 2**30)")
+        lo = self.lo + jnp.int32(inc)
+        return StepCount(hi=self.hi + lo // _STEP_BASE, lo=lo % _STEP_BASE)
+
+    def to_int(self) -> int:
+        """Host-side read as a Python int (arbitrary precision)."""
+        return int(self.hi) * _STEP_BASE + int(self.lo)
+
+
 @struct.dataclass
 class TrainingState:
     optimizer_state: optax.OptState
     params: ppo_networks.PPONetworkParams
     normalizer_params: running_statistics.RunningStatisticsState
-    env_steps: jnp.ndarray
+    env_steps: StepCount
 
 
 def compute_gae(
@@ -356,7 +386,7 @@ def train(
             optimizer_state=opt_state,
             params=params,
             normalizer_params=normalizer_params,
-            env_steps=training_state.env_steps + env_step_per_training_step,
+            env_steps=training_state.env_steps.add(env_step_per_training_step),
         )
         return (new_training_state, env_state, key_), metrics
 
@@ -387,7 +417,7 @@ def train(
         optimizer_state=optimizer.init(init_params),
         params=init_params,
         normalizer_params=running_statistics.init_state(obs_size),
-        env_steps=jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32),
+        env_steps=StepCount.zero(),
     )
     if resume and checkpoint_dir is not None:
         import os as _os
@@ -436,7 +466,7 @@ def train(
         all_metrics = metrics
 
     for _ in range(num_evals_after_init):
-        if int(jax.device_get(training_state.env_steps)) >= num_timesteps:
+        if jax.device_get(training_state.env_steps).to_int() >= num_timesteps:
             break  # resumed past the target
         key, epoch_key = jax.random.split(key)
         t = time.perf_counter()
@@ -445,7 +475,7 @@ def train(
         )
         train_metrics = jax.device_get(train_metrics)
         epoch_time = time.perf_counter() - t
-        current_step = int(jax.device_get(training_state.env_steps))
+        current_step = jax.device_get(training_state.env_steps).to_int()
         sps = num_training_steps_per_epoch * env_step_per_training_step / epoch_time
 
         metrics = {
@@ -462,7 +492,9 @@ def train(
         all_metrics = metrics
         progress_fn(current_step, metrics)
         policy_params_fn(current_step, make_policy, _callback_params(training_state))
-        if checkpoint_dir is not None:
+        # only one writer: concurrent orbax saves into a shared directory
+        # from every pod process race/corrupt (ADVICE r1)
+        if checkpoint_dir is not None and jax.process_index() == 0:
             import os as _os
 
             from puppax.train import checkpoint as ckpt_lib

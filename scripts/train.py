@@ -44,7 +44,18 @@ def main():
         help="resume from the latest train-state checkpoint in "
              "train.checkpoint_path (params + optimizer + normalizer)",
     )
+    parser.add_argument(
+        "--platform", default=None,
+        help="force the jax platform (e.g. 'cpu'); needed because the "
+             "image's sitecustomize re-pins the accelerator platform and "
+             "JAX_PLATFORMS from the environment does not stick",
+    )
     args = parser.parse_args()
+
+    if args.platform:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", args.platform)
 
     from puppax.configs import experiment as exp
     from puppax.parallel import maybe_initialize_distributed
@@ -143,13 +154,20 @@ def main():
             body_mass_scale_range=dr.body_mass_scale_range,
         )
 
+    import jax
+
     t = cfg.train
-    logger = MetricsLogger(jsonl_path=t.metrics_jsonl, use_wandb=args.wandb)
+    # multi-host: only process 0 writes metrics/checkpoints (shared storage)
+    is_lead = jax.process_index() == 0
+    logger = MetricsLogger(
+        jsonl_path=t.metrics_jsonl if is_lead else None,
+        use_wandb=args.wandb and is_lead,
+    )
     logger.log({"config_hash": exp.config_hash(cfg)}, step=0)
-    progress = make_progress_fn(logger)
+    progress = make_progress_fn(logger, plot_path=t.progress_plot)
 
     def policy_params_fn(step, make_policy, params):
-        if t.checkpoint_path:
+        if t.checkpoint_path and is_lead:
             checkpoint.save_checkpoint(step, params, t.checkpoint_path)
 
     network_factory = functools.partial(
@@ -186,7 +204,7 @@ def main():
         resume=args.resume,
     )
     print(json.dumps({k: v for k, v in metrics.items()}, default=float, indent=2))
-    if t.checkpoint_path:
+    if t.checkpoint_path and is_lead:
         path = checkpoint.save_checkpoint(t.num_timesteps, params, t.checkpoint_path)
         print(f"final checkpoint: {path}")
 

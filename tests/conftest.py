@@ -12,6 +12,11 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+# headless: mujoco's GLFW backend can block indefinitely probing for a
+# display; EGL fails fast (render tests then skip cleanly)
+if not os.environ.get("MUJOCO_GL") and not os.environ.get("DISPLAY"):
+    os.environ["MUJOCO_GL"] = "egl"
+
 import jax  # noqa: E402
 
 # a sitecustomize in this image pins JAX_PLATFORMS; override via config
@@ -37,6 +42,3 @@ def x64():
     jax.config.update("jax_enable_x64", True)
     yield
     jax.config.update("jax_enable_x64", False)
-
-
-REFERENCE_XML = "/root/repo/assets/pupper_v3_test.xml"

@@ -6,6 +6,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from puppax.tools.metrics import MetricsLogger, make_progress_fn
 from puppax.tools.plotting import hilbert_transform
@@ -50,6 +51,21 @@ def test_progress_fn_accumulates_curve(tmp_path):
     assert progress.y_data == [1.0, 2.0]
     assert progress.ydataerr == [0.1, 0.2]
     assert len(progress.times) == 3
+
+
+def test_progress_fn_renders_live_plot(tmp_path):
+    """plot_path renders the reference-style errorbar PNG each eval epoch
+    (reference utils.py:97-112 headless equivalent)."""
+    pytest.importorskip("matplotlib")
+    png = tmp_path / "progress.png"
+    logger = MetricsLogger(jsonl_path=str(tmp_path / "m.jsonl"))
+    progress = make_progress_fn(logger, plot_path=str(png))
+    progress(0, {"eval/episode_reward": 1.0, "eval/episode_reward_std": 0.1})
+    assert png.exists()
+    first_size = png.stat().st_size
+    assert first_size > 0
+    progress(100, {"eval/episode_reward": 2.0, "eval/episode_reward_std": 0.2})
+    assert png.exists()  # re-rendered with the two-point curve
 
 
 def test_hilbert_transform_pure_tone():
