@@ -75,13 +75,18 @@ def quat_to_mat(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def euler_to_quat(v: jnp.ndarray) -> jnp.ndarray:
-    """Euler angles (radians), intrinsic x-y'-z'' convention, -> quaternion.
+    """Euler angles (DEGREES), intrinsic x-y'-z'' convention, -> quaternion.
 
     Matches ``brax.math.euler_to_quat`` as used by
-    /root/reference/pupperv3_mjx/environment.py:296 (roll, pitch, yaw).
+    /root/reference/pupperv3_mjx/environment.py:296 (roll, pitch, yaw):
+    brax converts from degrees (half-angle = v*pi/360) — the env's
+    maximum_pitch/roll_command are specified in degrees (environment.py:
+    101-102). Caught by the independent oracle replay (r2): a radians
+    version rotates the desired-z command wildly off axis.
     """
-    c1, c2, c3 = jnp.cos(v * 0.5)
-    s1, s2, s3 = jnp.sin(v * 0.5)
+    half = v * (jnp.pi / 360.0)
+    c1, c2, c3 = jnp.cos(half)
+    s1, s2, s3 = jnp.sin(half)
     w = c1 * c2 * c3 - s1 * s2 * s3
     x = s1 * c2 * c3 + c1 * s2 * s3
     y = c1 * s2 * c3 - s1 * c2 * s3

@@ -97,17 +97,21 @@ def test_seed0_golden_trace(env):
         rtol=1e-5,
     )
 
-    # goldens generated under this exact test environment. Steps 0-1 are
-    # pre-landing (tight); contacts engage at ~t=2 and amplify fp-level
-    # compiler differences chaotically, so later steps get loose bounds —
-    # an RNG-stream change still shifts them by O(1), far beyond 10%.
+    # goldens regenerated (r2) after the euler_to_quat degrees fix — the
+    # desired-z obs slice and tracking_orientation reward shifted. This
+    # test is the cheap f32 RNG-stream canary; the authoritative parity
+    # certification is tests/test_reference_parity.py (independent C-engine
+    # replay, f64, per-step bounds). Steps 0-1 are pre-landing (tight);
+    # contacts engage at ~t=2 and amplify fp-level compiler differences
+    # chaotically, so later steps get loose bounds — an RNG-stream change
+    # still shifts them by O(1), far beyond 10%.
     golden_rews = [
-        0.004184, 0.0, 0.003809, 0.00606, 0.006488,
-        0.006584, 0.006551, 0.00647, 0.006359, 0.006226,
+        0.023049, 0.018086, 0.022612, 0.024779, 0.025179,
+        0.025287, 0.02528, 0.025228, 0.025142, 0.025032,
     ]
     golden_obs_sums = [
-        -1.82659, -1.10518, -1.04849, -1.33674, -1.22064,
-        -1.42401, -0.43675, 0.32977, 0.20038, 0.03146,
+        1.66894, 2.39034, 2.44703, 2.15878, 2.27489,
+        2.07151, 3.05877, 3.82529, 3.6959, 3.52698,
     ]
     for t in range(10):
         state = step(state, jnp.zeros(12))
