@@ -208,6 +208,21 @@ class PupperV3Env(Env):
         self._use_imu = use_imu
         self._dtype = dtype
 
+        # SoA fused-kernel physics (flat model class): spliced via
+        # custom_vmap so single-env traces keep the XLA pipeline while
+        # batched training steps hit ONE pallas kernel on TPU
+        # (puppax/physics/soa.py; PUPPAX_SOA env var controls the mode)
+        from puppax.physics import soa as _soa
+
+        self._use_soa_cv = dtype == jnp.float32 and _soa.soa_supported(model)
+        if self._use_soa_cv:
+            self._cv_step = pipeline.make_batched_step(
+                model, self._n_substeps, mj_model=self.mj_model
+            )
+            self._pair_statics = pipeline.pair_contact_statics(
+                model, mj_model=self.mj_model
+            )
+
     # ---- properties -----------------------------------------------------
     @property
     def dt(self) -> float:
@@ -350,9 +365,15 @@ class PupperV3Env(Env):
         # physics (reference environment.py:364-366)
         motor_targets = self._default_pose + lagged_action * self._action_scale
         motor_targets = jnp.clip(motor_targets, self.lowers, self.uppers)
-        pipeline_state = pipeline.pipeline_step(
-            m, state.pipeline_state, motor_targets, n_substeps=self._n_substeps
-        )
+        if self._use_soa_cv:
+            pipeline_state = self._cv_pipeline_step(
+                m, state.pipeline_state, motor_targets
+            )
+        else:
+            pipeline_state = pipeline.pipeline_step(
+                m, state.pipeline_state, motor_targets,
+                n_substeps=self._n_substeps,
+            )
 
         obs = self._get_obs(pipeline_state, info, state.obs)
         joint_angles = pipeline_state.q[7:]
@@ -482,6 +503,43 @@ class PupperV3Env(Env):
             done=done,
             metrics=metrics,
             info=info,
+        )
+
+    def _cv_pipeline_step(
+        self, m: RobotModel, ps: PhysicsState, motor_targets: jax.Array
+    ) -> PhysicsState:
+        """Physics step through the custom_vmap SoA splice; re-attaches the
+        static per-pair contact metadata (plane frames are constants for
+        the supported model class)."""
+        from puppax.physics import collision
+
+        (
+            qp, qv, qacc, x_pos, x_rot, xd_vel, xd_ang, xpos, site_xpos,
+            qfrc_act, con_dist, con_pos,
+        ) = self._cv_step(m, ps.qpos, ps.qvel, motor_targets)
+        st = self._pair_statics
+        gf = m.geom_friction[..., 0]
+        mu = jnp.stack(
+            [jnp.maximum(gf[..., g1], gf[..., g2]) for g1, g2 in st["pair_geoms"]],
+            axis=-1,
+        )
+        contact = collision.Contacts(
+            dist=con_dist,
+            pos=con_pos,
+            frame=st["frame"],
+            friction=jnp.stack([mu, mu], axis=-1),
+            solref=st["solref"],
+            solimp=st["solimp"],
+            invweight=st["invweight"],
+            geom1=st["geom1"],
+            geom2=st["geom2"],
+            body1=st["body1"],
+            body2=st["body2"],
+        )
+        return PhysicsState(
+            qpos=qp, qvel=qv, qacc=qacc, x_pos=x_pos, x_rot=x_rot,
+            xd_vel=xd_vel, xd_ang=xd_ang, xpos=xpos, site_xpos=site_xpos,
+            qfrc_actuator=qfrc_act, contact=contact,
         )
 
     def _get_obs(

@@ -257,10 +257,8 @@ def _top_k_select(items, k):
     return tuple(out)
 
 
-def collide(m: RobotModel, kin: Kinematics) -> Contacts:
-    """Evaluate all candidate pairs, apply per-type and global top-k caps."""
-    dtype = kin.geom_xpos.dtype
-    groups = []
+def _pair_groups(m: RobotModel, kin: Kinematics):
+    """Evaluate every candidate pair; yields per-type contact tuples."""
     for pairs, fn in (
         (m.pairs_plane_sphere, _plane_sphere),
         (m.pairs_sphere_sphere, _sphere_sphere),
@@ -273,7 +271,7 @@ def collide(m: RobotModel, kin: Kinematics) -> Contacts:
         g2 = np.asarray([p[1] for p in pairs], np.int64)
         dist, pos, frame = fn(m, kin, g1, g2)
         fri, sref, simp, iw, b1, b2 = _combine(m, g1, g2)
-        group = (
+        yield (
             dist,
             pos,
             frame,
@@ -286,26 +284,58 @@ def collide(m: RobotModel, kin: Kinematics) -> Contacts:
             jnp.asarray(b1, jnp.int32),
             jnp.asarray(b2, jnp.int32),
         )
-        # per-type pair cap (reference MJX max_geom_pairs semantics)
-        groups.append(_top_k_select(group, m.max_geom_pairs))
+
+
+def collide_pairs(m: RobotModel, kin: Kinematics) -> Contacts:
+    """Uncapped per-pair contact set in static pair order — the REPORTING
+    surface (PhysicsState.contact) the env's collision rewards read.
+
+    MuJoCo C reports every candidate pair's contact (no MJX-style caps);
+    since r2 the reporting set matches that (the independent oracle replay,
+    tests/oracle_env, counts contacts from the C engine). The SOLVER still
+    consumes the capped set from :func:`collide` — reference MJX dynamics
+    semantics — and the two only differ when > max_geom_pairs pairs of one
+    type penetrate simultaneously. Static pair order means the env's
+    geom-id reward masks need no gathers.
+    """
+    groups = list(_pair_groups(m, kin))
+    if not groups:
+        return _empty_contacts(m, kin.geom_xpos.dtype, 0)
+    merged = tuple(
+        jnp.concatenate([g[i] for g in groups]) for i in range(len(groups[0]))
+    )
+    return Contacts(*merged)
+
+
+def _empty_contacts(m: RobotModel, dtype, ncon: int) -> Contacts:
+    return Contacts(
+        dist=jnp.full((ncon,), _PAD_DIST, dtype),
+        pos=jnp.zeros((ncon, 3), dtype),
+        frame=jnp.tile(jnp.eye(3, dtype=dtype), (ncon, 1, 1)),
+        friction=jnp.ones((ncon, 2), dtype),
+        solref=jnp.tile(jnp.asarray([0.02, 1.0], dtype), (ncon, 1)),
+        solimp=jnp.tile(
+            jnp.asarray([0.9, 0.95, 0.001, 0.5, 2.0], dtype), (ncon, 1)
+        ),
+        invweight=jnp.zeros((ncon,), dtype),
+        geom1=jnp.zeros((ncon,), jnp.int32),
+        geom2=jnp.zeros((ncon,), jnp.int32),
+        body1=jnp.zeros((ncon,), jnp.int32),
+        body2=jnp.zeros((ncon,), jnp.int32),
+    )
+
+
+def collide(m: RobotModel, kin: Kinematics) -> Contacts:
+    """Evaluate all candidate pairs, apply per-type and global top-k caps."""
+    dtype = kin.geom_xpos.dtype
+    # per-type pair cap (reference MJX max_geom_pairs semantics)
+    groups = [
+        _top_k_select(g, m.max_geom_pairs) for g in _pair_groups(m, kin)
+    ]
 
     ncon = m.max_contact_points
     if not groups:
-        return Contacts(
-            dist=jnp.full((ncon,), _PAD_DIST, dtype),
-            pos=jnp.zeros((ncon, 3), dtype),
-            frame=jnp.tile(jnp.eye(3, dtype=dtype), (ncon, 1, 1)),
-            friction=jnp.ones((ncon, 2), dtype),
-            solref=jnp.tile(jnp.asarray([0.02, 1.0], dtype), (ncon, 1)),
-            solimp=jnp.tile(
-                jnp.asarray([0.9, 0.95, 0.001, 0.5, 2.0], dtype), (ncon, 1)
-            ),
-            invweight=jnp.zeros((ncon,), dtype),
-            geom1=jnp.zeros((ncon,), jnp.int32),
-            geom2=jnp.zeros((ncon,), jnp.int32),
-            body1=jnp.zeros((ncon,), jnp.int32),
-            body2=jnp.zeros((ncon,), jnp.int32),
-        )
+        return _empty_contacts(m, dtype, ncon)
 
     merged = tuple(
         jnp.concatenate([g[i] for g in groups]) for i in range(len(groups[0]))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from puppax.model.mjcf import RobotModel
@@ -98,6 +99,11 @@ def _make_state(m, qpos, qvel, qacc, caches) -> PhysicsState:
     offset = kin.xpos - take_rows(com.subtree_com, m.body_rootid)
     ang = vel.cvel[:, :3]
     lin = vel.cvel[:, 3:] + jnp.cross(ang, offset)
+    # reporting surface: the full uncapped per-pair contact set (MuJoCo C
+    # semantics, matching the independent oracle replay); the solver used
+    # the capped `contacts` internally (MJX dynamics semantics)
+    del contacts
+    report = collision.collide_pairs(m, kin)
     return PhysicsState(
         qpos=qpos,
         qvel=qvel,
@@ -109,7 +115,7 @@ def _make_state(m, qpos, qvel, qacc, caches) -> PhysicsState:
         xpos=kin.xpos,
         site_xpos=kin.site_xpos,
         qfrc_actuator=qfrc_actuator,
-        contact=contacts,
+        contact=report,
     )
 
 
@@ -144,3 +150,135 @@ def pipeline_step(
     last = jax.tree_util.tree_map(lambda x: x[-1], (qaccs, caches))
     qacc, caches = last
     return _make_state(m, qpos, qvel, qacc, caches)
+
+
+# ---------------------------------------------------------------------------
+# batched step with the SoA pallas kernel (custom_vmap splice)
+# ---------------------------------------------------------------------------
+
+
+def _zeros_state(m: RobotModel, qpos, qvel) -> PhysicsState:
+    """Minimal PhysicsState carrier: pipeline_step only reads qpos/qvel."""
+    z = jnp.zeros
+    dt = qpos.dtype
+    return PhysicsState(
+        qpos=qpos, qvel=qvel, qacc=z(m.nv, dt),
+        x_pos=z((m.nbody - 1, 3), dt), x_rot=z((m.nbody - 1, 4), dt),
+        xd_vel=z((m.nbody - 1, 3), dt), xd_ang=z((m.nbody - 1, 3), dt),
+        xpos=z((m.nbody, 3), dt), site_xpos=z((m.nsite, 3), dt),
+        qfrc_actuator=z(m.nv, dt), contact=None,
+    )
+
+
+def make_batched_step(base_model: RobotModel, n_substeps: int, mj_model=None):
+    """Build ``step(model, qpos, qvel, ctrl) -> tuple`` with a custom vmap
+    rule: traced per-env it is the XLA pipeline; under ``jax.vmap`` on a TPU
+    backend the whole batch is handled by ONE fused SoA pallas kernel
+    (puppax.physics.soa) instead of hundreds of small XLA kernels.
+
+    Control: env var PUPPAX_SOA = auto (default; kernel on TPU backends) |
+    off (always XLA) | force (kernel everywhere, compiled) | interpret
+    (kernel in pallas interpret mode — CPU testing).
+
+    The returned tuple is (qpos, qvel, qacc, x_pos, x_rot, xd_vel, xd_ang,
+    xpos, site_xpos, qfrc_actuator, con_dist, con_pos); contact metadata
+    (frames/solref/...) is static per pair for the supported model class
+    and is re-attached by the caller.
+    """
+    import os
+
+    from puppax.physics import soa
+
+    supported = soa.soa_supported(base_model)
+    # mj_model: host-side numerics source — building the digest off device
+    # arrays does a D2H transfer, which permanently degrades the tunneled
+    # TPU's dispatch latency (see soa._Static docstring)
+    s = soa._Static(base_model, mj_model) if supported else None
+
+    def _single(model, qpos, qvel, ctrl):
+        out = pipeline_step(
+            model, _zeros_state(model, qpos, qvel), ctrl, n_substeps=n_substeps
+        )
+        return (
+            out.qpos, out.qvel, out.qacc, out.x_pos, out.x_rot,
+            out.xd_vel, out.xd_ang, out.xpos, out.site_xpos,
+            out.qfrc_actuator, out.contact.dist, out.contact.pos,
+        )
+
+    step = jax.custom_batching.custom_vmap(_single)
+
+    @step.def_vmap
+    def _vmap_rule(axis_size, in_batched, model, qpos, qvel, ctrl):
+        mode = os.environ.get("PUPPAX_SOA", "auto")
+        backend = jax.default_backend()
+        use_kernel = (
+            supported
+            and mode != "off"
+            and qpos.dtype == jnp.float32
+            and (mode in ("force", "interpret") or backend in ("tpu", "axon"))
+        )
+        if not use_kernel:
+            in_axes = jax.tree_util.tree_map(
+                lambda b: 0 if b else None, tuple(in_batched)
+            )
+            out = jax.vmap(_single, in_axes=in_axes, axis_size=axis_size)(
+                model, qpos, qvel, ctrl
+            )
+            return out, jax.tree_util.tree_map(lambda _: True, out)
+
+        B = axis_size
+        dr = soa.dr_inputs(model, s, B)
+        qpos2, qvel2, caches = soa.step_batched(
+            s, qpos, qvel, ctrl, dr, n_substeps,
+            interpret=(mode == "interpret"),
+        )
+        nbody, nsite, npair = base_model.nbody, base_model.nsite, s.npair
+        out = (
+            qpos2,
+            qvel2,
+            caches["qacc"],
+            caches["xpos"].reshape(B, nbody, 3)[:, 1:],
+            caches["xquat"].reshape(B, nbody - 1, 4),
+            caches["xd_vel"].reshape(B, nbody - 1, 3),
+            caches["xd_ang"].reshape(B, nbody - 1, 3),
+            caches["xpos"].reshape(B, nbody, 3),
+            caches["site_xpos"].reshape(B, nsite, 3),
+            caches["qfrc_actuator"],
+            caches["con_dist"],
+            caches["con_pos"].reshape(B, npair, 3),
+        )
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    return step
+
+
+def pair_contact_statics(base_model: RobotModel, mj_model=None):
+    """Static per-pair Contacts metadata for the SoA-supported model class
+    (plane frames are constants); used to re-attach full Contacts around
+    the make_batched_step tuple."""
+    from puppax.physics import soa
+
+    s = soa._Static(base_model, mj_model)
+    frames = np.stack(
+        [
+            np.stack([p.plane_n, p.frame_t1, p.frame_t2]).astype(np.float32)
+            for p in s.pairs
+        ]
+    )
+    return dict(
+        frame=jnp.asarray(frames),
+        solref=jnp.asarray(
+            np.stack([p.solref for p in s.pairs]).astype(np.float32)
+        ),
+        solimp=jnp.asarray(
+            np.stack([p.solimp for p in s.pairs]).astype(np.float32)
+        ),
+        invweight=jnp.asarray(
+            np.asarray([p.invweight for p in s.pairs], np.float32)
+        ),
+        geom1=jnp.asarray([p.geom1 for p in s.pairs], jnp.int32),
+        geom2=jnp.asarray([p.geom2 for p in s.pairs], jnp.int32),
+        body1=jnp.asarray([p.body1 for p in s.pairs], jnp.int32),
+        body2=jnp.asarray([p.body2 for p in s.pairs], jnp.int32),
+        pair_geoms=[(p.geom1, p.geom2) for p in s.pairs],
+    )

@@ -1,0 +1,85 @@
+"""Worker: compiled SoA kernel vs XLA path on the accelerator.
+
+Run by tests/test_soa.py::test_on_device_soa_matches_xla in a subprocess
+with default platform resolution. Prints one JSON line.
+
+IMPORTANT: all timing happens before any device->host read — a single
+D2H transfer permanently degrades the tunneled TPU's dispatch latency.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    backend = jax.default_backend()
+    if backend == "cpu":
+        print(json.dumps({"backend": "cpu"}))
+        return
+
+    from puppax.configs import get_config
+    from puppax.env import PupperV3Env
+
+    B = 2048
+    T = 3
+
+    def build(mode):
+        os.environ["PUPPAX_SOA"] = mode
+        return PupperV3Env(
+            path=None,
+            reward_config=get_config(),
+            action_scale=0.75,
+            observation_history=2,
+        )
+
+    rngs = jax.random.split(jax.random.PRNGKey(5), B)
+    actions = [
+        jax.random.uniform(jax.random.PRNGKey(50 + t), (B, 12), minval=-0.5, maxval=0.5)
+        for t in range(T)
+    ]
+
+    results = {}
+    timings = {}
+    for mode in ("auto", "off"):
+        env = build(mode)
+        assert env._use_soa_cv == (mode == "auto") or mode == "off"
+        step = jax.jit(jax.vmap(env.step))
+        state = jax.jit(jax.vmap(env.reset))(rngs)
+        # warmup one step (compiles)
+        warm = step(state, actions[0])
+        jax.block_until_ready(warm.obs)
+        # timed: T steps, block once at the end (no D2H)
+        t0 = time.perf_counter()
+        st = state
+        for t in range(T):
+            st = step(st, actions[t])
+        jax.block_until_ready(st.obs)
+        timings[mode] = (time.perf_counter() - t0) / T
+        results[mode] = st
+
+    # D2H reads only now
+    a, b = results["auto"], results["off"]
+    out = {
+        "backend": backend,
+        "d_q": float(jnp.max(jnp.abs(a.pipeline_state.qpos - b.pipeline_state.qpos))),
+        "d_obs": float(jnp.max(jnp.abs(a.obs - b.obs))),
+        "d_rew": float(jnp.max(jnp.abs(a.reward - b.reward))),
+        "d_done": float(jnp.max(jnp.abs(a.done - b.done))),
+        "finite": bool(jnp.all(jnp.isfinite(a.obs))),
+        "soa_us_per_step": timings["auto"] * 1e6,
+        "xla_us_per_step": timings["off"] * 1e6,
+        "soa_env_steps_per_s": B / timings["auto"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -144,7 +144,12 @@ def test_pipeline_state_surface(oracle):
     assert state.x_rot.shape == (m.nbody - 1, 4)
     assert state.xd_vel.shape == (m.nbody - 1, 3)
     assert state.site_xpos.shape == (m.nsite, 3)
-    assert state.contact.dist.shape == (32,)
+    # r2: the reported contact set is the full uncapped per-pair set in
+    # static pair order (MuJoCo C reporting semantics; the solver still
+    # consumes the capped set) — 8 plane-sphere + 24 sphere-sphere
+    # candidate pairs for this model
+    npair = len(m.pairs_plane_sphere) + len(m.pairs_sphere_sphere)
+    assert state.contact.dist.shape == (npair,)
     # standing on the floor: some penetrating contacts exist
     assert int(jnp.sum(state.contact.dist < 0)) >= 4
     # torso quaternion is identity at home orientation

@@ -1,0 +1,202 @@
+"""SoA fused-kernel physics path: correctness vs the XLA pipeline.
+
+The pallas kernel (puppax/physics/soa.py) re-implements the substep math
+in batch-on-lanes form; these tests pin it against the oracle-verified XLA
+path. On CPU the kernel runs in pallas interpret mode (PUPPAX_SOA
+machinery); the compiled-on-chip comparison lives in the tpu-marked tier.
+"""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from puppax.model.mjcf import load_model
+from puppax.physics import pipeline, soa
+
+
+@pytest.fixture(scope="module")
+def model():
+    cm = load_model(None)
+    m = cm.robot.tree_replace({"opt.timestep": 0.004})
+    return m.replace(
+        actuator_gainprm=m.actuator_gainprm.at[:, 0].set(5.0),
+        actuator_biasprm=m.actuator_biasprm.at[:, 1].set(-5.0).at[:, 2].set(-0.25),
+    )
+
+
+def _random_states(m, B, seed=0):
+    rng = np.random.RandomState(seed)
+    key_q = np.tile(np.asarray(m.key_qpos), (B, 1))
+    qpos = key_q.copy()
+    qpos[:, 2] = rng.uniform(0.05, 0.4, B)  # half in contact, half airborne
+    qpos[:, 0:2] += rng.uniform(-0.5, 0.5, (B, 2))
+    quat = rng.normal(0, 1, (B, 4)) * 0.1 + np.array([1.0, 0, 0, 0])
+    qpos[:, 3:7] = quat / np.linalg.norm(quat, axis=1, keepdims=True)
+    qpos[:, 7:] += rng.uniform(-0.3, 0.3, (B, 12))
+    qvel = rng.uniform(-1.0, 1.0, (B, 18))
+    ctrl = key_q[:, 7:] + rng.uniform(-0.3, 0.3, (B, 12))
+    return (
+        jnp.asarray(qpos, jnp.float32),
+        jnp.asarray(qvel, jnp.float32),
+        jnp.asarray(ctrl, jnp.float32),
+    )
+
+
+def test_sparse_ldl_matches_dense():
+    """The fill-in-free reverse-order LDL^T used in the kernel solves
+    tree-sparse SPD systems exactly (validated on Python floats — the
+    value algebra runs host-side unchanged)."""
+    cm = load_model(None)
+    s = soa._Static(cm.robot)
+    rng = np.random.RandomState(3)
+    A = np.zeros((s.nv, s.nv))
+    for j in range(s.nv):
+        for k in range(j + 1):
+            if s.anc[j, k]:
+                A[j, k] = A[k, j] = rng.uniform(-0.3, 0.3)
+    A += np.eye(s.nv) * (np.abs(A).sum(axis=1).max() + 1.0)  # SPD, same pattern
+    b = rng.uniform(-1, 1, s.nv)
+    M = {
+        (j, k): float(A[j, k])
+        for j in range(s.nv)
+        for k in range(j + 1)
+        if s.anc[j, k]
+    }
+    x = soa._ldl_solve_dict(s, M, [float(v) for v in b])
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-10)
+
+
+def test_soa_supported_gating(model):
+    assert soa.soa_supported(model)
+    hf = model.replace(pairs_hfield_sphere=((0, 1),))
+    assert not soa.soa_supported(hf)
+
+
+@pytest.mark.slow
+def test_soa_emitter_matches_xla_pipeline(model):
+    """The SoA program (run host-side on 0-d values — the value algebra is
+    layout-agnostic) vs the oracle-verified XLA path on random in-contact
+    and airborne states. The pallas LOWERING of the same program is
+    covered by the tpu-marked on-device test; full interpret-mode runs
+    are impractically slow on CPU (>10 min)."""
+    m = model
+    B = 12
+    qpos, qvel, ctrl = _random_states(m, B)
+    s = soa._Static(m)
+
+    def xla_step(qp, qv, ct):
+        st = pipeline._zeros_state(m, qp, qv)
+        out = pipeline.pipeline_step(m, st, ct, n_substeps=1)
+        return out.qpos, out.qvel, out.qacc
+
+    ref = jax.jit(jax.vmap(xla_step))(qpos, qvel, ctrl)
+    dr = soa.dr_inputs(m, s, B)
+
+    for e in range(B):
+        ql = [qpos[e, i] for i in range(m.nq)]
+        vl = [qvel[e, i] for i in range(m.nv)]
+        cl = [ctrl[e, i] for i in range(m.nu)]
+        drl = {
+            k: [jnp.asarray(x, jnp.float32) for x in np.asarray(arr[e]).reshape(-1)]
+            for k, arr in dr.items()
+        }
+        fw = soa._emit_forward(s, ql, vl, cl, drl)
+        q2, v2 = soa._emit_integrate(s, ql, vl, fw["qacc"])
+        q2 = np.array([float(soa.materialize(t, qpos[e, 0])) for t in q2])
+        v2 = np.array([float(soa.materialize(t, qpos[e, 0])) for t in v2])
+        scale_v = max(1.0, float(np.max(np.abs(ref[1][e]))))
+        np.testing.assert_allclose(
+            q2, np.asarray(ref[0][e]), atol=5e-5, err_msg=f"env {e} qpos"
+        )
+        np.testing.assert_allclose(
+            v2 / scale_v, np.asarray(ref[1][e]) / scale_v, atol=5e-4,
+            err_msg=f"env {e} qvel (relative)",
+        )
+
+
+@pytest.mark.slow
+def test_env_cv_splice_matches_direct_pipeline(monkeypatch):
+    """The custom_vmap splice's FALLBACK path (cv function + static
+    contact reattachment) must reproduce the direct pipeline_step env
+    path exactly — guards the splice wiring (tuple packing, Contacts
+    reassembly). The kernel leg of the splice is covered by the
+    tpu-marked on-device test (interpret mode is impractically slow for
+    this program on CPU)."""
+    from puppax.configs import get_config
+    from puppax.env import PupperV3Env
+
+    monkeypatch.setenv("PUPPAX_SOA", "off")
+
+    def run(use_cv):
+        env = PupperV3Env(
+            path=None,
+            reward_config=get_config(),
+            action_scale=0.75,
+            observation_history=2,
+        )
+        assert env._use_soa_cv
+        if not use_cv:
+            env._use_soa_cv = False  # direct pipeline.pipeline_step path
+        B = 8
+        rngs = jax.random.split(jax.random.PRNGKey(11), B)
+        state = jax.jit(jax.vmap(env.reset))(rngs)
+        step = jax.jit(jax.vmap(env.step))
+        outs = []
+        for t in range(3):
+            act = jax.random.uniform(
+                jax.random.PRNGKey(100 + t), (B, 12), minval=-0.5, maxval=0.5
+            )
+            state = step(state, act)
+            outs.append(
+                (np.asarray(state.obs), np.asarray(state.reward),
+                 np.asarray(state.done), np.asarray(state.pipeline_state.qpos))
+            )
+        return outs
+
+    ref = run(use_cv=False)
+    got = run(use_cv=True)
+    for t, ((obs_a, rew_a, done_a, q_a), (obs_b, rew_b, done_b, q_b)) in enumerate(
+        zip(ref, got)
+    ):
+        np.testing.assert_allclose(q_a, q_b, atol=1e-5, err_msg=f"qpos t={t}")
+        np.testing.assert_allclose(obs_a, obs_b, atol=1e-4, err_msg=f"obs t={t}")
+        np.testing.assert_allclose(rew_a, rew_b, atol=1e-5, err_msg=f"rew t={t}")
+        np.testing.assert_array_equal(done_a, done_b)
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_on_device_soa_matches_xla():
+    """Compiled SoA kernel vs XLA path through the full env on the real
+    chip: 3-step batched trajectories agree, finite, and the kernel path
+    is faster (re-exec worker pattern, see tests/test_tpu_numerics.py)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "soa_tpu_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, worker], env=env, capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    if result["backend"] == "cpu":
+        pytest.skip("no accelerator present (worker resolved to cpu)")
+    assert result["finite"]
+    assert result["d_done"] == 0.0
+    # 3 steps from reset: f32-noise-level agreement (chaos has not had
+    # time to amplify; see tests/test_reference_parity.py for the model)
+    assert result["d_q"] < 5e-3, result
+    assert result["d_obs"] < 2e-2, result
+    assert result["d_rew"] < 1e-3, result
+    # the kernel path must actually be faster end-to-end
+    assert result["soa_us_per_step"] < result["xla_us_per_step"], result
