@@ -100,7 +100,11 @@ class TrainConfig:
     num_envs: int = 4096
     num_eval_envs: int = 128
     learning_rate: float = 3e-4
+    lr_schedule: str = "constant"  # constant | cosine | linear
+    lr_final_fraction: float = 0.0
     entropy_cost: float = 1e-2
+    entropy_schedule: str = "constant"  # constant | linear
+    entropy_cost_final: float = 0.0
     discounting: float = 0.97
     unroll_length: int = 20
     batch_size: int = 256

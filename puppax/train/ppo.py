@@ -130,7 +130,11 @@ def train(
     num_eval_envs: int = 128,
     action_repeat: int = 1,
     learning_rate: float = 3e-4,
+    lr_schedule: str = "constant",  # constant | cosine | linear
+    lr_final_fraction: float = 0.0,
     entropy_cost: float = 1e-2,
+    entropy_schedule: str = "constant",  # constant | linear
+    entropy_cost_final: float = 0.0,
     discounting: float = 0.97,
     unroll_length: int = 20,
     batch_size: int = 256,
@@ -210,13 +214,34 @@ def train(
     make_policy = ppo_networks.make_inference_fn(ppo_network)
     dist = ppo_network.action_distribution
 
+    # total optimizer updates over the run (drives the lr schedule)
+    total_updates = (
+        num_training_steps_per_epoch
+        * num_evals_after_init
+        * num_updates_per_batch
+        * num_minibatches
+    )
+    if lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(
+            learning_rate, decay_steps=total_updates, alpha=lr_final_fraction
+        )
+    elif lr_schedule == "linear":
+        lr = optax.linear_schedule(
+            learning_rate, learning_rate * lr_final_fraction, total_updates
+        )
+    elif lr_schedule == "constant":
+        lr = learning_rate
+    else:
+        raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
     if max_grad_norm is not None:
         optimizer = optax.chain(
             optax.clip_by_global_norm(max_grad_norm),
-            optax.adam(learning_rate=learning_rate),
+            optax.adam(learning_rate=lr),
         )
     else:
-        optimizer = optax.adam(learning_rate=learning_rate)
+        optimizer = optax.adam(learning_rate=lr)
+    if entropy_schedule not in ("constant", "linear"):
+        raise ValueError(f"unknown entropy_schedule {entropy_schedule!r}")
 
     # --- shardings -------------------------------------------------------
     replicated = NamedSharding(device_mesh, P())
@@ -235,6 +260,7 @@ def train(
         normalizer_params,
         data: Transition,
         rng: jax.Array,
+        entropy_cost_now,
     ) -> Tuple[jnp.ndarray, Metrics]:
         # data is time-major (T, mb, ...)
         policy_logits = ppo_network.policy_network.apply(
@@ -283,7 +309,7 @@ def train(
         value_loss = 0.25 * jnp.mean(v_error * v_error)
 
         entropy = jnp.mean(dist.entropy(policy_logits, rng))
-        entropy_loss = -entropy_cost * entropy
+        entropy_loss = -entropy_cost_now * entropy
 
         total = policy_loss + value_loss + entropy_loss
         return total, {
@@ -297,15 +323,17 @@ def train(
 
     # --- SGD over minibatches -------------------------------------------
     def minibatch_step(carry, data: Transition):
-        opt_state, params, normalizer_params, key_ = carry
+        opt_state, params, normalizer_params, key_, ec_now = carry
         key_, key_loss = jax.random.split(key_)
-        (_, metrics), grads = grad_fn(params, normalizer_params, data, key_loss)
+        (_, metrics), grads = grad_fn(
+            params, normalizer_params, data, key_loss, ec_now
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return (opt_state, params, normalizer_params, key_), metrics
+        return (opt_state, params, normalizer_params, key_, ec_now), metrics
 
     def sgd_step(carry, _, data: Transition):
-        opt_state, params, normalizer_params, key_ = carry
+        opt_state, params, normalizer_params, key_, ec_now = carry
         key_, key_perm, key_grad = jax.random.split(key_, 3)
 
         total_batch = batch_size * num_minibatches
@@ -322,13 +350,13 @@ def train(
             )
 
         shuffled = jax.tree_util.tree_map(shuffle, data)
-        (opt_state, params, _, _), metrics = jax.lax.scan(
+        (opt_state, params, _, _, _), metrics = jax.lax.scan(
             minibatch_step,
-            (opt_state, params, normalizer_params, key_grad),
+            (opt_state, params, normalizer_params, key_grad, ec_now),
             shuffled,
             length=num_minibatches,
         )
-        return (opt_state, params, normalizer_params, key_), metrics
+        return (opt_state, params, normalizer_params, key_, ec_now), metrics
 
     # --- one training step: rollout + normalizer update + SGD epochs ----
     def training_step(carry, _):
@@ -369,13 +397,24 @@ def train(
                 normalizer_params, data.observation
             )
 
-        (opt_state, params, _, _), sgd_metrics = jax.lax.scan(
+        if entropy_schedule == "linear":
+            steps_f = (
+                training_state.env_steps.hi.astype(jnp.float32) * _STEP_BASE
+                + training_state.env_steps.lo.astype(jnp.float32)
+            )
+            progress = jnp.clip(steps_f / float(num_timesteps), 0.0, 1.0)
+            ec_now = entropy_cost + (entropy_cost_final - entropy_cost) * progress
+        else:
+            ec_now = jnp.asarray(entropy_cost, jnp.float32)
+
+        (opt_state, params, _, _, _), sgd_metrics = jax.lax.scan(
             functools.partial(sgd_step, data=data),
             (
                 training_state.optimizer_state,
                 training_state.params,
                 normalizer_params,
                 key_sgd,
+                ec_now,
             ),
             (),
             length=num_updates_per_batch,

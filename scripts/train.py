@@ -184,7 +184,11 @@ def main():
         num_envs=t.num_envs,
         num_eval_envs=t.num_eval_envs,
         learning_rate=t.learning_rate,
+        lr_schedule=t.lr_schedule,
+        lr_final_fraction=t.lr_final_fraction,
         entropy_cost=t.entropy_cost,
+        entropy_schedule=t.entropy_schedule,
+        entropy_cost_final=t.entropy_cost_final,
         discounting=t.discounting,
         unroll_length=t.unroll_length,
         batch_size=t.batch_size,

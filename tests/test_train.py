@@ -144,6 +144,12 @@ def test_ppo_train_smoke_multidevice():
         seed=0,
         randomization_fn=domain_randomization.domain_randomize,
         progress_fn=progress,
+        # schedule plumbing rides along in the smoke (lr decays over the
+        # run; entropy cost anneals linearly with env-step progress)
+        lr_schedule="cosine",
+        lr_final_fraction=0.1,
+        entropy_schedule="linear",
+        entropy_cost_final=2e-3,
     )
     assert "eval/episode_reward" in metrics
     assert np.isfinite(metrics["eval/episode_reward"])
