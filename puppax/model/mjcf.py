@@ -27,6 +27,7 @@ from flax import struct
 GEOM_PLANE = int(mujoco.mjtGeom.mjGEOM_PLANE)
 GEOM_HFIELD = int(mujoco.mjtGeom.mjGEOM_HFIELD)
 GEOM_SPHERE = int(mujoco.mjtGeom.mjGEOM_SPHERE)
+GEOM_CAPSULE = int(mujoco.mjtGeom.mjGEOM_CAPSULE)
 GEOM_BOX = int(mujoco.mjtGeom.mjGEOM_BOX)
 
 # joint types
@@ -90,6 +91,9 @@ class RobotModel:
     ls_iterations: int = struct.field(pytree_node=False)
     tolerance: float = struct.field(pytree_node=False)
     ls_tolerance: float = struct.field(pytree_node=False)
+    # mean body inertia (mjModel.stat.meaninertia): the MuJoCo solver's
+    # cost/gradient normalization scale for tolerance-based early exit
+    meaninertia: float = struct.field(pytree_node=False)
 
     # ---- numeric parameters (traced jnp leaves) ----
     gravity: jnp.ndarray
@@ -136,6 +140,11 @@ class RobotModel:
     hfield_data: Optional[jnp.ndarray] = None
     hfield_size: Optional[jnp.ndarray] = None  # (4,) rx, ry, elevation_z, base_z
 
+    # ---- capsule collision pairs (r2; empty for sphere-only models) ----
+    pairs_plane_capsule: tuple = struct.field(pytree_node=False, default=())
+    pairs_sphere_capsule: tuple = struct.field(pytree_node=False, default=())
+    pairs_capsule_capsule: tuple = struct.field(pytree_node=False, default=())
+
     def tree_replace(self, updates: dict) -> "RobotModel":
         """Dotted-path functional update, mirroring brax's System.tree_replace
         API used by the reference (/root/reference/pupperv3_mjx/environment.py:167).
@@ -163,7 +172,8 @@ def _collision_pairs(m: mujoco.MjModel):
     contype/conaffinity bitmask match, different bodies, parent-child
     excluded unless the parent is the world body."""
     plane_sphere, sphere_sphere, sphere_box, hfield_sphere = [], [], [], []
-    supported = {GEOM_PLANE, GEOM_SPHERE, GEOM_BOX, GEOM_HFIELD}
+    plane_capsule, sphere_capsule, capsule_capsule = [], [], []
+    supported = {GEOM_PLANE, GEOM_SPHERE, GEOM_CAPSULE, GEOM_BOX, GEOM_HFIELD}
     for g1, g2 in itertools.combinations(range(m.ngeom), 2):
         if not (
             (m.geom_contype[g1] & m.geom_conaffinity[g2])
@@ -195,6 +205,12 @@ def _collision_pairs(m: mujoco.MjModel):
             sphere_box.append((ga, gb))
         elif ta == GEOM_HFIELD and tb == GEOM_SPHERE:
             hfield_sphere.append((ga, gb))
+        elif ta == GEOM_PLANE and tb == GEOM_CAPSULE:
+            plane_capsule.append((ga, gb))
+        elif ta == GEOM_SPHERE and tb == GEOM_CAPSULE:
+            sphere_capsule.append((ga, gb))
+        elif ta == GEOM_CAPSULE and tb == GEOM_CAPSULE:
+            capsule_capsule.append((ga, gb))
         elif ta == GEOM_PLANE and tb == GEOM_BOX:
             # plane-box between world geoms is filtered by same-body above;
             # any other combination is out of scope for this model class
@@ -209,6 +225,9 @@ def _collision_pairs(m: mujoco.MjModel):
         tuple(sphere_sphere),
         tuple(sphere_box),
         tuple(hfield_sphere),
+        tuple(plane_capsule),
+        tuple(sphere_capsule),
+        tuple(capsule_capsule),
     )
 
 
@@ -230,7 +249,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> RobotModel:
         raise NotImplementedError("at most one joint per body supported")
     body_jntid = np.where(m.body_jntnum[:] > 0, m.body_jntadr[:], -1)
 
-    ps, ss, bs, hs = _collision_pairs(m)
+    ps, ss, bs, hs, pc, sc, cc = _collision_pairs(m)
     if int(m.nhfield) > 1:
         raise NotImplementedError("at most one heightfield supported")
 
@@ -263,6 +282,9 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> RobotModel:
         pairs_sphere_sphere=ss,
         pairs_sphere_box=bs,
         pairs_hfield_sphere=hs,
+        pairs_plane_capsule=pc,
+        pairs_sphere_capsule=sc,
+        pairs_capsule_capsule=cc,
         hfield_nrow=int(m.hfield_nrow[0]) if m.nhfield else 0,
         hfield_ncol=int(m.hfield_ncol[0]) if m.nhfield else 0,
         hfield_data=(
@@ -279,6 +301,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> RobotModel:
         ls_iterations=int(m.opt.ls_iterations),
         tolerance=float(m.opt.tolerance),
         ls_tolerance=float(m.opt.ls_tolerance),
+        meaninertia=float(m.stat.meaninertia),
         gravity=arr(m.opt.gravity),
         qpos0=arr(m.qpos0),
         key_qpos=arr(m.key_qpos[0] if m.nkey else m.qpos0),

@@ -1,8 +1,9 @@
 """Analytic narrowphase collision for the pupper model class.
 
 Supported pair types (everything the reference model + obstacle terrain
-produces, plus heightfield terrain): plane-sphere, sphere-sphere,
-sphere-box, hfield-sphere. All candidate pairs are
+produces, plus heightfield terrain and capsule-legged quadruped variants):
+plane-sphere, sphere-sphere, sphere-box, hfield-sphere, plane-capsule,
+sphere-capsule, capsule-capsule. All candidate pairs are
 evaluated every step with fixed shapes; the reference's MJX contact caps
 (``max_geom_pairs`` per pair type, then ``max_contact_points`` overall,
 /root/reference/test/test_pupper_model.xml:227-230 via
@@ -72,26 +73,20 @@ def _take(x: jnp.ndarray, idx: Sequence[int]) -> jnp.ndarray:
 
 
 def _make_frames(n: jnp.ndarray) -> jnp.ndarray:
-    """Contact frames from unit normals (k, 3) (MuJoCo mju_makeFrame):
-    tangent1 = normalized projection of the smallest-|component| world axis,
-    tangent2 = normal x tangent1."""
-    an = jnp.abs(n)
-    use_x = (an[:, 0] < an[:, 1]) & (an[:, 0] < an[:, 2])
-    use_y = (~use_x) & (an[:, 1] < an[:, 2])
-    axis = jnp.where(
-        use_x[:, None],
-        jnp.array([1.0, 0.0, 0.0], n.dtype),
-        jnp.where(
-            use_y[:, None],
-            jnp.array([0.0, 1.0, 0.0], n.dtype),
-            jnp.array([0.0, 0.0, 1.0], n.dtype),
-        ),
+    """Contact frames from unit normals (k, 3) — exact mju_makeFrame:
+    helper axis e = y if |n_y| < 0.5 else z; t2 = normalize(n x e);
+    t1 = t2 x n. (Fitted and verified against mjData contact frames over
+    random capsule poses, r2 — an axis-projection Gram-Schmidt variant
+    coincides only for normals with a zero y-component.)"""
+    use_y = jnp.abs(n[:, 1]) < 0.5
+    e = jnp.where(
+        use_y[:, None],
+        jnp.array([0.0, 1.0, 0.0], n.dtype),
+        jnp.array([0.0, 0.0, 1.0], n.dtype),
     )
-    t1 = axis - n * jnp.sum(n * axis, axis=-1, keepdims=True)
-    t1 = t1 / jnp.maximum(
-        jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12
-    )
-    t2 = jnp.cross(n, t1)
+    t2 = jnp.cross(n, e)
+    t2 = t2 / jnp.maximum(jnp.linalg.norm(t2, axis=-1, keepdims=True), 1e-12)
+    t1 = jnp.cross(t2, n)
     return jnp.stack([n, t1, t2], axis=1)  # (k, 3, 3)
 
 
@@ -170,6 +165,102 @@ def _sphere_box(m: RobotModel, kin: Kinematics, g1, g2):
     sphere_surface = center + n * r[:, None]
     pos = 0.5 * (sphere_surface + surface)
     return dist_local, pos, _make_frames(n)
+
+
+def _capsule_ends(m: RobotModel, kin: Kinematics, g):
+    """Endpoint centers + radius of capsules for static geom ids g."""
+    center = _take(kin.geom_xpos, g)
+    axis = _take(kin.geom_xmat, g)[:, :, 2]  # local z in world frame
+    size = _take(m.geom_size, g)
+    r = size[:, 0]
+    half = size[:, 1]
+    return center - axis * half[:, None], center + axis * half[:, None], r
+
+
+def _plane_capsule(m: RobotModel, kin: Kinematics, g1, g2):
+    """Batched plane(g1)-capsule(g2): MuJoCo emits one contact per capsule
+    END (two plane-sphere contacts at the endpoint spheres) — rows are
+    interleaved [pair0_end0, pair0_end1, pair1_end0, ...].
+
+    Frame convention (mjc_PlaneCapsule, verified against mjData): the
+    first tangent is the capsule AXIS projected onto the plane (the
+    friction pyramid aligns with the capsule), not the mju_makeFrame
+    axis-projection; vertical capsules fall back to mju_makeFrame."""
+    n = _take(kin.geom_xmat, g1)[:, :, 2]
+    plane_pos = _take(kin.geom_xpos, g1)
+    axis = _take(kin.geom_xmat, g2)[:, :, 2]
+    e0, e1, r = _capsule_ends(m, kin, g2)
+    ends = jnp.stack([e0, e1], axis=1)  # (k, 2, 3)
+    dist = jnp.sum(n[:, None, :] * (ends - plane_pos[:, None, :]), axis=-1) - r[:, None]
+    pos = ends - n[:, None, :] * (r[:, None] + 0.5 * dist)[:, :, None]
+    k = dist.shape[0]
+    proj = axis - n * jnp.sum(n * axis, axis=-1, keepdims=True)
+    pnorm = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+    fallback = _make_frames(n)
+    t1 = jnp.where(pnorm > 1e-8, proj / jnp.maximum(pnorm, 1e-12), fallback[:, 1])
+    t2 = jnp.cross(n, t1)
+    frames = jnp.stack([n, t1, t2], axis=1)
+    return (
+        dist.reshape(2 * k),
+        pos.reshape(2 * k, 3),
+        jnp.repeat(frames, 2, axis=0),
+    )
+
+
+def _sphere_capsule(m: RobotModel, kin: Kinematics, g1, g2):
+    """Batched sphere(g1)-capsule(g2): sphere vs the nearest point on the
+    capsule axis segment (mjc_SphereCapsule semantics)."""
+    c1 = _take(kin.geom_xpos, g1)
+    r1 = _take(m.geom_size, g1)[:, 0]
+    center = _take(kin.geom_xpos, g2)
+    axis = _take(kin.geom_xmat, g2)[:, :, 2]
+    size = _take(m.geom_size, g2)
+    r2, half = size[:, 0], size[:, 1]
+    t = jnp.clip(jnp.sum((c1 - center) * axis, axis=-1), -half, half)
+    nearest = center + axis * t[:, None]
+    delta = nearest - c1
+    length = jnp.linalg.norm(delta, axis=-1)
+    n = delta / jnp.maximum(length, 1e-12)[:, None]
+    dist = length - (r1 + r2)
+    pos = c1 + n * (r1 + 0.5 * dist)[:, None]
+    return dist, pos, _make_frames(n)
+
+
+def _capsule_capsule(m: RobotModel, kin: Kinematics, g1, g2):
+    """Batched capsule-capsule: closest points between the two axis
+    segments (Ericson 5.1.9, clamped), then the virtual sphere-sphere
+    contact (mjc_CapsuleCapsule semantics)."""
+    a0, a1, r1 = _capsule_ends(m, kin, g1)
+    b0, b1, r2 = _capsule_ends(m, kin, g2)
+    d1 = a1 - a0
+    d2 = b1 - b0
+    r_ = a0 - b0
+    a = jnp.sum(d1 * d1, axis=-1)
+    e = jnp.sum(d2 * d2, axis=-1)
+    f = jnp.sum(d2 * r_, axis=-1)
+    c = jnp.sum(d1 * r_, axis=-1)
+    b = jnp.sum(d1 * d2, axis=-1)
+    denom = a * e - b * b
+    # segment parameters s (on capsule 1) and t (on capsule 2) in [0, 1]
+    s = jnp.where(
+        denom > 1e-12, jnp.clip((b * f - c * e) / jnp.maximum(denom, 1e-12), 0.0, 1.0), 0.0
+    )
+    t = (b * s + f) / jnp.maximum(e, 1e-12)
+    # re-clamp t, then recompute s against the clamped t
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.where(
+        t != t_cl,
+        jnp.clip((b * t_cl - c) / jnp.maximum(a, 1e-12), 0.0, 1.0),
+        s,
+    )
+    p1 = a0 + d1 * s[:, None]
+    p2 = b0 + d2 * t_cl[:, None]
+    delta = p2 - p1
+    length = jnp.linalg.norm(delta, axis=-1)
+    n = delta / jnp.maximum(length, 1e-12)[:, None]
+    dist = length - (r1 + r2)
+    pos = p1 + n * (r1 + 0.5 * dist)[:, None]
+    return dist, pos, _make_frames(n)
 
 
 def _hfield_sphere(m: RobotModel, kin: Kinematics, g1, g2):
@@ -258,18 +349,26 @@ def _top_k_select(items, k):
 
 
 def _pair_groups(m: RobotModel, kin: Kinematics):
-    """Evaluate every candidate pair; yields per-type contact tuples."""
-    for pairs, fn in (
-        (m.pairs_plane_sphere, _plane_sphere),
-        (m.pairs_sphere_sphere, _sphere_sphere),
-        (m.pairs_sphere_box, _sphere_box),
-        (m.pairs_hfield_sphere, _hfield_sphere),
+    """Evaluate every candidate pair; yields per-type contact tuples.
+    ``rows`` is the contacts-per-pair expansion (plane-capsule emits one
+    contact per capsule end)."""
+    for pairs, fn, rows in (
+        (m.pairs_plane_sphere, _plane_sphere, 1),
+        (m.pairs_sphere_sphere, _sphere_sphere, 1),
+        (m.pairs_sphere_box, _sphere_box, 1),
+        (m.pairs_hfield_sphere, _hfield_sphere, 1),
+        (m.pairs_plane_capsule, _plane_capsule, 2),
+        (m.pairs_sphere_capsule, _sphere_capsule, 1),
+        (m.pairs_capsule_capsule, _capsule_capsule, 1),
     ):
         if not pairs:
             continue
         g1 = np.asarray([p[0] for p in pairs], np.int64)
         g2 = np.asarray([p[1] for p in pairs], np.int64)
         dist, pos, frame = fn(m, kin, g1, g2)
+        if rows > 1:
+            g1 = np.repeat(g1, rows)
+            g2 = np.repeat(g2, rows)
         fri, sref, simp, iw, b1, b2 = _combine(m, g1, g2)
         yield (
             dist,

@@ -263,6 +263,17 @@ def soa_supported(m: RobotModel) -> bool:
     """True when the model is in the SoA kernel's supported class."""
     if m.pairs_sphere_box or m.pairs_hfield_sphere:
         return False
+    if (
+        getattr(m, "pairs_plane_capsule", ())
+        or getattr(m, "pairs_sphere_capsule", ())
+        or getattr(m, "pairs_capsule_capsule", ())
+    ):
+        return False  # capsule narrowphase: XLA path only (r2)
+    if m.solver_iterations != 1:
+        # the kernel unrolls iterations without the XLA path's masked
+        # tolerance early-exit; only the 1-iteration reference setting is
+        # certified equivalent
+        return False
     for j in range(m.njnt):
         if m.jnt_type[j] not in (JNT_FREE, JNT_HINGE):
             return False
@@ -406,17 +417,15 @@ class _Static:
                 ]
             )
             n = R[:, 2]
-            # frame rows exactly as collision._make_frames builds them
-            an = np.abs(n)
-            if an[0] < an[1] and an[0] < an[2]:
-                axis = np.array([1.0, 0.0, 0.0])
-            elif an[1] < an[2]:
-                axis = np.array([0.0, 1.0, 0.0])
-            else:
-                axis = np.array([0.0, 0.0, 1.0])
-            t1 = axis - n * np.dot(n, axis)
-            t1 = t1 / max(np.linalg.norm(t1), 1e-12)
-            t2 = np.cross(n, t1)
+            # frame rows exactly as collision._make_frames (mju_makeFrame)
+            e = (
+                np.array([0.0, 1.0, 0.0])
+                if abs(n[1]) < 0.5
+                else np.array([0.0, 0.0, 1.0])
+            )
+            t2 = np.cross(n, e)
+            t2 = t2 / max(np.linalg.norm(t2), 1e-12)
+            t1 = np.cross(t2, n)
             sb = m.geom_bodyid[g2]
             self.pairs.append(
                 _Pair(
@@ -873,20 +882,13 @@ def _emit_forward(s: _Static, q, v, ctrl, dr):
             n = [materialize(delta[i], length) * inv_len for i in range(3)]
             dist = sub(length, pr.radius1 + pr.radius)
             cpos = vadd3(c1, vscale3(n, add(pr.radius1, mul(0.5, dist))))
-            # dynamic contact frame (collision._make_frames)
-            an = [jnp.abs(n[i]) for i in range(3)]
-            use_x = (an[0] < an[1]) & (an[0] < an[2])
-            use_y = (~use_x) & (an[1] < an[2])
-            ax = [
-                jnp.where(use_x, 1.0, 0.0),
-                jnp.where(use_y, 1.0, 0.0),
-                jnp.where(~use_x & ~use_y, 1.0, 0.0),
-            ]
-            ndot = vdot3(n, ax)
-            t1 = vsub3(ax, vscale3(n, ndot))
-            t1n = jnp.maximum(jnp.sqrt(materialize(vdot3(t1, t1), length)), 1e-12)
-            t1 = [materialize(t1[i], length) / t1n for i in range(3)]
-            t2 = vcross3(n, t1)
+            # dynamic contact frame (mju_makeFrame, as collision._make_frames)
+            use_y = jnp.abs(n[1]) < 0.5
+            ax = [0.0, jnp.where(use_y, 1.0, 0.0), jnp.where(use_y, 0.0, 1.0)]
+            t2 = vcross3(n, ax)
+            t2n = jnp.maximum(jnp.sqrt(materialize(vdot3(t2, t2), length)), 1e-12)
+            t2 = [materialize(t2[i], length) / t2n for i in range(3)]
+            t1 = vcross3(t2, n)
             # J = J2 - J1: shared (base) dofs cancel exactly (same offset)
             dof_coeff = {}
             for d in s.chains[b]:

@@ -56,6 +56,15 @@ class SolverResult(NamedTuple):
     qfrc_constraint: jnp.ndarray  # (nv,)
 
 
+def _row_cost(efc: EfcData, jar: jnp.ndarray) -> jnp.ndarray:
+    """Total per-row convex cost at jar (the s_i in the module docstring)."""
+    quad = 0.5 * efc.D * jar * jar
+    lin = efc.floss * jnp.abs(jar) - 0.5 * efc.floss * efc.floss * efc.R
+    cost_fric = jnp.where(jnp.abs(jar) <= efc.floss * efc.R, quad, lin)
+    cost_onesided = jnp.where(jar < 0, quad, 0.0)
+    return jnp.sum(jnp.where(efc.is_friction, cost_fric, cost_onesided))
+
+
 def _row_force(efc: EfcData, jar: jnp.ndarray):
     """Per-row constraint force and quadratic-zone mask at given jar."""
     quad_fric = jnp.abs(jar) <= efc.floss * efc.R
@@ -74,11 +83,24 @@ def solve(
     dtype = qacc_smooth.dtype
     x = qacc_smooth
 
-    for _ in range(max(m.solver_iterations, 1)):
+    # MuJoCo solver termination scale: costs/gradients are normalized by
+    # meaninertia * max(1, nv) before comparison with opt.tolerance
+    # (mj_solNewton semantics). With iterations=1 (the reference model)
+    # this reduces to the single unconditional step validated against the
+    # C oracle; for iterations>1 converged lanes freeze via the mask.
+    scale = 1.0 / max(m.meaninertia * max(1, m.nv), 1e-30)
+    tol = m.tolerance
+    active = jnp.asarray(True)
+    n_iter = max(m.solver_iterations, 1)
+
+    for it in range(n_iter):
         jar = _mv(efc.J, x) - efc.aref
         force, quad = _row_force(efc, jar)
         ma = _mv(qM, x - qacc_smooth)
         grad = ma - _mtv(efc.J, force)
+        # pre-step gradient exit (mj: gradient < tolerance)
+        grad_norm = scale * jnp.sqrt(jnp.sum(grad * grad))
+        active = active & (grad_norm >= tol)
         # exact Hessian over the active set
         dw = efc.D * quad.astype(dtype)
         H = qM + _weighted_gram(efc.J, dw)
@@ -138,7 +160,21 @@ def solve(
         # descent safeguard (phi'(0) < 0 guarantees a positive step)
         alpha = jnp.maximum(alpha, 0.0)
 
-        x = x + alpha * dx
+        x_new = x + alpha * dx
+        x_old = x
+        x = jnp.where(active, x_new, x)
+        if it < n_iter - 1:
+            # post-step improvement exit (mj: improvement < tolerance);
+            # skipped on the last iteration — nothing left to gate
+            cost_old = 0.5 * jnp.dot(x_old - qacc_smooth, ma) + _row_cost(
+                efc, jar
+            )
+            jar_new = _mv(efc.J, x) - efc.aref
+            ma_new = _mv(qM, x - qacc_smooth)
+            cost_new = 0.5 * jnp.dot(x - qacc_smooth, ma_new) + _row_cost(
+                efc, jar_new
+            )
+            active = active & (scale * (cost_old - cost_new) >= tol)
 
     jar = _mv(efc.J, x) - efc.aref
     force, _ = _row_force(efc, jar)
