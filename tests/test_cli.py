@@ -24,7 +24,7 @@ _ENV = dict(
 )
 
 
-def _run(args, timeout=1500):
+def _run(args, timeout=2100):
     return subprocess.run(
         [sys.executable] + args,
         cwd=_REPO,

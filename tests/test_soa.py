@@ -6,7 +6,6 @@ path. On CPU the kernel runs in pallas interpret mode (PUPPAX_SOA
 machinery); the compiled-on-chip comparison lives in the tpu-marked tier.
 """
 
-import types
 
 import jax
 import jax.numpy as jnp
