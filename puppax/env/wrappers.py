@@ -100,12 +100,25 @@ class VmapWrapper(Wrapper):
 
 
 class AutoResetWrapper(Wrapper):
-    """brax-semantics auto-reset: restore the reset-time state on done."""
+    """brax-semantics auto-reset: restore the reset-time state on done.
+
+    Only the dynamic fields the env step actually consumes are restored:
+    ``qpos``, ``qvel``, and the observation stack. Every other
+    ``PhysicsState`` leaf (FK products, site positions, contacts,
+    actuator forces) is a pure function of ``qpos``/``qvel`` recomputed by
+    the next physics step, and training consumes only obs/reward/done
+    (train/acting.py:50-57) — so carrying a full reset-time PhysicsState
+    copy through the rollout scan and tree-mapping ``where(done)`` over
+    all of it (brax's approach) only adds HBM traffic per step. The
+    observable difference is confined to the derived leaves of a
+    post-done state *between* steps, which no consumer reads.
+    """
 
     def reset(self, rng: jax.Array) -> State:
         state = self.env.reset(rng)
         info = dict(state.info)
-        info["first_pipeline_state"] = state.pipeline_state
+        info["first_qpos"] = state.pipeline_state.qpos
+        info["first_qvel"] = state.pipeline_state.qvel
         info["first_obs"] = state.obs
         return state.replace(info=info)
 
@@ -124,8 +137,9 @@ class AutoResetWrapper(Wrapper):
                 done = jnp.reshape(done, [x.shape[0]] + [1] * (len(x.shape) - 1))
             return jnp.where(done, x, y)
 
-        pipeline_state = jax.tree_util.tree_map(
-            where_done, state.info["first_pipeline_state"], state.pipeline_state
+        pipeline_state = state.pipeline_state.replace(
+            qpos=where_done(state.info["first_qpos"], state.pipeline_state.qpos),
+            qvel=where_done(state.info["first_qvel"], state.pipeline_state.qvel),
         )
         obs = where_done(state.info["first_obs"], state.obs)
         return state.replace(pipeline_state=pipeline_state, obs=obs)

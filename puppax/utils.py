@@ -39,7 +39,20 @@ def sample_lagged_value(
     delay (reference utils.py:49-69).
     """
     buffer_newest_first = circular_buffer_push_front(buffer_newest_first, new_value)
-    sampled = jax.random.choice(rng, buffer_newest_first, axis=1, p=distribution)
+    # Bit-identical to jax.random.choice(rng, buffer, axis=1, p=distribution):
+    # choice draws its index the same way for scalar and array ``a`` (cumsum +
+    # searchsorted on the same key), so drawing the index alone preserves the
+    # RNG stream — but the column select becomes a one-hot contraction instead
+    # of jnp.take, because batched dynamic gathers are pathological on TPU
+    # (same rule as ops/select.py; 0/1 weights at HIGHEST precision select
+    # exactly).
+    depth = buffer_newest_first.shape[1]
+    ind = jax.random.choice(rng, depth, p=distribution)
+    onehot = (jnp.arange(depth) == ind).astype(buffer_newest_first.dtype)
+    sampled = jnp.einsum(
+        "d,nd->n", onehot, buffer_newest_first,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return sampled, buffer_newest_first
 
 

@@ -47,6 +47,23 @@ def test_sample_lagged_value_fixed_lag():
     np.testing.assert_allclose(outs[5], vals[2])
 
 
+def test_sample_lagged_value_matches_jax_choice():
+    """The one-hot column select must be bit-identical to the reference's
+    ``jax.random.choice(rng, buf, axis=1, p=dist)`` for every key — the
+    latency draw is part of the env's parity-pinned RNG stream
+    (reference utils.py:65-69)."""
+    dist = jnp.array([0.6, 0.25, 0.1, 0.05])
+    for seed in range(50):
+        rng = jax.random.PRNGKey(seed)
+        buf = jax.random.normal(jax.random.fold_in(rng, 1), (12, 4))
+        v = jax.random.normal(jax.random.fold_in(rng, 2), (12,))
+        out, new_buf = utils.sample_lagged_value(rng, buf, v, dist)
+        pushed = utils.circular_buffer_push_front(buf, v)
+        expected = jax.random.choice(rng, pushed, axis=1, p=dist)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(expected))
+        np.testing.assert_array_equal(np.asarray(new_buf), np.asarray(pushed))
+
+
 def test_sample_lagged_value_no_lag():
     """buffer depth 1 with distribution [1] => identity."""
     rng = jax.random.PRNGKey(0)
