@@ -334,18 +334,22 @@ class PupperV3Env(Env):
             metrics[k] = state_info["rewards"][k]
         return State(pipeline_state, obs, reward, done, metrics, state_info)
 
-    def step(
-        self, state: State, action: jax.Array, model: Optional[RobotModel] = None
-    ) -> State:
-        m = self.model if model is None else model
-        info = dict(state.info)
+    def _draw_step_noise(self, rng: jax.Array) -> Dict[str, jax.Array]:
+        """Every random draw one env step makes, hoisted ahead of the
+        deterministic math. The split/draw order is bit-identical to the
+        inline draws the reference interleaves through its step
+        (environment.py:351-361, 457-469) and _get_obs (:498-516): all
+        keys derive only from ``info["rng"]``, so drawing them up front
+        leaves every stream unchanged while giving the step a pure
+        noise-in/state-out core (the SoA fusion boundary).
 
-        info["rng"], cmd_rng, kick_noise_2, kick_bernoulli, latency_key = (
-            jax.random.split(info["rng"], 5)
+        Returns rng (the carried key), kick (2,), act_lat/imu_lat one-hot
+        lag weights, the four obs noise vectors, and the resample
+        command/orientation candidates (reference reuses cmd_rng for
+        both, a pinned quirk)."""
+        rng, cmd_rng, kick_noise_2, kick_bernoulli, latency_key = (
+            jax.random.split(rng, 5)
         )
-
-        # random kick: both occurrence and velocity are random
-        # (reference environment.py:351-356)
         kick = (
             jax.random.uniform(kick_noise_2, shape=(2,), minval=-1.0, maxval=1.0)
             * self._kick_vel
@@ -353,13 +357,62 @@ class PupperV3Env(Env):
         kick *= jax.random.bernoulli(
             kick_bernoulli, p=self._kick_probability, shape=(1,)
         )
+        act_lat = utils.latency_onehot(latency_key, self._latency_distribution)
+
+        # _get_obs draw block (reference environment.py:498-516 order)
+        rng, ang_key, gravity_key, motor_angle_key, last_action_key, imu_key = (
+            jax.random.split(rng, 6)
+        )
+        ang_vel_noise = (
+            jax.random.uniform(ang_key, (3,), minval=-1, maxval=1)
+            * self._angular_velocity_noise
+        )
+        gravity_noise = (
+            jax.random.uniform(gravity_key, (3,), minval=-1, maxval=1)
+            * self._gravity_noise
+        )
+        motor_ang_noise = (
+            jax.random.uniform(motor_angle_key, (12,), minval=-1, maxval=1)
+            * self._motor_angle_noise
+        )
+        last_action_noise = (
+            jax.random.uniform(last_action_key, (12,), minval=-1, maxval=1)
+            * self._last_action_noise
+        )
+        imu_lat = utils.latency_onehot(imu_key, self._imu_latency_distribution)
+
+        return {
+            "rng": rng,
+            "kick": kick,
+            "act_lat": act_lat,
+            "ang_vel_noise": ang_vel_noise,
+            "gravity_noise": gravity_noise,
+            "motor_ang_noise": motor_ang_noise,
+            "last_action_noise": last_action_noise,
+            "imu_lat": imu_lat,
+            "resample_cmd": self.sample_command(cmd_rng),
+            "resample_ori": self.sample_body_orientation(cmd_rng),
+        }
+
+    def step(
+        self, state: State, action: jax.Array, model: Optional[RobotModel] = None
+    ) -> State:
+        m = self.model if model is None else model
+        info = dict(state.info)
+
+        noise = self._draw_step_noise(info["rng"])
+        info["rng"] = noise["rng"]
+
+        # random kick: both occurrence and velocity are random
+        # (reference environment.py:351-356)
+        kick = noise["kick"]
         qvel = state.pipeline_state.qvel
         qvel = qvel.at[:2].set(kick + qvel[:2])
         state = state.tree_replace({"pipeline_state.qvel": qvel})
 
         # action latency (reference environment.py:358-361)
-        lagged_action, info["action_buffer"] = utils.sample_lagged_value(
-            latency_key, info["action_buffer"], action, self._latency_distribution
+        lagged_action, info["action_buffer"] = utils.apply_lagged_value(
+            info["action_buffer"], action, noise["act_lat"]
         )
 
         # physics (reference environment.py:364-366)
@@ -375,7 +428,7 @@ class PupperV3Env(Env):
                 n_substeps=self._n_substeps,
             )
 
-        obs = self._get_obs(pipeline_state, info, state.obs)
+        obs = self._get_obs(pipeline_state, info, state.obs, noise=noise)
         joint_angles = pipeline_state.q[7:]
         joint_vel = pipeline_state.qd[6:]
 
@@ -475,12 +528,12 @@ class PupperV3Env(Env):
         # preserving the reference's reuse quirk, environment.py:457-469)
         info["command"] = jnp.where(
             info["step"] > self._resample_velocity_step,
-            self.sample_command(cmd_rng),
+            noise["resample_cmd"],
             info["command"],
         )
         info["desired_world_z_in_body_frame"] = jnp.where(
             info["step"] > self._resample_velocity_step,
-            self.sample_body_orientation(cmd_rng),
+            noise["resample_ori"],
             info["desired_world_z_in_body_frame"],
         )
 
@@ -547,9 +600,14 @@ class PupperV3Env(Env):
         pipeline_state: PhysicsState,
         state_info: Dict[str, Any],
         obs_history: jax.Array,
+        noise: Optional[Dict[str, jax.Array]] = None,
     ) -> jax.Array:
         """36-dim observation, noised/lagged, stacked newest-first
-        (reference environment.py:485-543, same RNG split order)."""
+        (reference environment.py:485-543, same RNG split order).
+
+        ``noise`` carries the pre-drawn noise bundle on the step path
+        (_draw_step_noise); the reset path draws inline from
+        ``state_info["rng"]`` with the identical split order."""
         if self._use_imu:
             inv_torso_rot = math.quat_inv(pipeline_state.x_rot[0])
             local_body_angular_velocity = math.rotate(
@@ -560,31 +618,41 @@ class PupperV3Env(Env):
             local_body_angular_velocity = jnp.zeros(3, self._dtype)
 
         # noise model after arXiv 2202.05481 (reference environment.py:498-516)
-        (
-            state_info["rng"],
-            ang_key,
-            gravity_key,
-            motor_angle_key,
-            last_action_key,
-            imu_sample_key,
-        ) = jax.random.split(state_info["rng"], 6)
+        if noise is None:
+            (
+                state_info["rng"],
+                ang_key,
+                gravity_key,
+                motor_angle_key,
+                last_action_key,
+                imu_sample_key,
+            ) = jax.random.split(state_info["rng"], 6)
 
-        ang_vel_noise = (
-            jax.random.uniform(ang_key, (3,), minval=-1, maxval=1)
-            * self._angular_velocity_noise
-        )
-        gravity_noise = (
-            jax.random.uniform(gravity_key, (3,), minval=-1, maxval=1)
-            * self._gravity_noise
-        )
-        motor_ang_noise = (
-            jax.random.uniform(motor_angle_key, (12,), minval=-1, maxval=1)
-            * self._motor_angle_noise
-        )
-        last_action_noise = (
-            jax.random.uniform(last_action_key, (12,), minval=-1, maxval=1)
-            * self._last_action_noise
-        )
+            ang_vel_noise = (
+                jax.random.uniform(ang_key, (3,), minval=-1, maxval=1)
+                * self._angular_velocity_noise
+            )
+            gravity_noise = (
+                jax.random.uniform(gravity_key, (3,), minval=-1, maxval=1)
+                * self._gravity_noise
+            )
+            motor_ang_noise = (
+                jax.random.uniform(motor_angle_key, (12,), minval=-1, maxval=1)
+                * self._motor_angle_noise
+            )
+            last_action_noise = (
+                jax.random.uniform(last_action_key, (12,), minval=-1, maxval=1)
+                * self._last_action_noise
+            )
+            imu_lat = utils.latency_onehot(
+                imu_sample_key, self._imu_latency_distribution
+            )
+        else:
+            ang_vel_noise = noise["ang_vel_noise"]
+            gravity_noise = noise["gravity_noise"]
+            motor_ang_noise = noise["motor_ang_noise"]
+            last_action_noise = noise["last_action_noise"]
+            imu_lat = noise["imu_lat"]
 
         noised_gravity = (
             math.rotate(jnp.array([0.0, 0.0, -1.0], self._dtype), inv_torso_rot)
@@ -594,11 +662,8 @@ class PupperV3Env(Env):
         noised_ang_vel = local_body_angular_velocity + ang_vel_noise
         noised_imu_data = jnp.concatenate([noised_ang_vel, noised_gravity])
 
-        lagged_imu_data, state_info["imu_buffer"] = utils.sample_lagged_value(
-            imu_sample_key,
-            state_info["imu_buffer"],
-            noised_imu_data,
-            self._imu_latency_distribution,
+        lagged_imu_data, state_info["imu_buffer"] = utils.apply_lagged_value(
+            state_info["imu_buffer"], noised_imu_data, imu_lat
         )
 
         obs = jnp.concatenate(

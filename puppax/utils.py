@@ -38,19 +38,33 @@ def sample_lagged_value(
     (dim,) value and the updated buffer — models actuation/IMU transport
     delay (reference utils.py:49-69).
     """
-    buffer_newest_first = circular_buffer_push_front(buffer_newest_first, new_value)
-    # Bit-identical to jax.random.choice(rng, buffer, axis=1, p=distribution):
-    # choice draws its index the same way for scalar and array ``a`` (cumsum +
-    # searchsorted on the same key), so drawing the index alone preserves the
-    # RNG stream — but the column select becomes a one-hot contraction instead
-    # of jnp.take, because batched dynamic gathers are pathological on TPU
-    # (same rule as ops/select.py; 0/1 weights at HIGHEST precision select
-    # exactly).
-    depth = buffer_newest_first.shape[1]
+    onehot = latency_onehot(rng, distribution)
+    return apply_lagged_value(buffer_newest_first, new_value, onehot)
+
+
+def latency_onehot(rng: jax.Array, distribution: jax.Array) -> jax.Array:
+    """Draw the lag column as a one-hot vector.
+
+    Bit-identical to the index ``jax.random.choice(rng, buf, axis=1, p=...)``
+    would pick: choice draws its index the same way for scalar and array
+    ``a`` (cumsum + searchsorted on the same key), so drawing the index
+    alone preserves the env's parity-pinned RNG stream.
+    """
+    depth = distribution.shape[0]
     ind = jax.random.choice(rng, depth, p=distribution)
-    onehot = (jnp.arange(depth) == ind).astype(buffer_newest_first.dtype)
+    return (jnp.arange(depth) == ind).astype(distribution.dtype)
+
+
+def apply_lagged_value(
+    buffer_newest_first: jax.Array, new_value: jax.Array, onehot: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Push new_value, then select the lag column by the one-hot weights —
+    a contraction instead of ``jnp.take``, because batched dynamic gathers
+    are pathological on TPU (same rule as ops/select.py; 0/1 weights at
+    HIGHEST precision select exactly)."""
+    buffer_newest_first = circular_buffer_push_front(buffer_newest_first, new_value)
     sampled = jnp.einsum(
-        "d,nd->n", onehot, buffer_newest_first,
+        "d,nd->n", onehot.astype(buffer_newest_first.dtype), buffer_newest_first,
         precision=jax.lax.Precision.HIGHEST,
     )
     return sampled, buffer_newest_first
