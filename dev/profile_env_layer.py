@@ -97,7 +97,7 @@ bench("bare env.step", bare.step, state_bare)
 def physics_only(state, action):
     mt = jnp.clip(env._default_pose + action * env._action_scale,
                   env.lowers, env.uppers)
-    ps = jax.vmap(lambda p, t: env._cv_pipeline_step(m, p, t))(
+    ps = jax.vmap(lambda p, t: env._cv_pipeline_step(m, p.qpos, p.qvel, t))(
         state.pipeline_state, mt)
     return state.replace(pipeline_state=ps)
 

@@ -394,41 +394,62 @@ class PupperV3Env(Env):
             "resample_ori": self.sample_body_orientation(cmd_rng),
         }
 
-    def step(
-        self, state: State, action: jax.Array, model: Optional[RobotModel] = None
-    ) -> State:
-        m = self.model if model is None else model
-        info = dict(state.info)
+    # noise-bundle keys the deterministic step core consumes (everything
+    # except the carried rng)
+    _CORE_NOISE_KEYS = (
+        "kick", "act_lat", "imu_lat", "ang_vel_noise", "gravity_noise",
+        "motor_ang_noise", "last_action_noise", "resample_cmd", "resample_ori",
+    )
 
-        noise = self._draw_step_noise(info["rng"])
-        info["rng"] = noise["rng"]
+    def _step_core(
+        self,
+        m: RobotModel,
+        qpos: jax.Array,
+        qvel: jax.Array,
+        action: jax.Array,
+        env_in: Dict[str, jax.Array],
+        noise: Dict[str, jax.Array],
+    ):
+        """Deterministic single-env step core: noise in, state out.
 
+        Everything between the RNG draws (_draw_step_noise) and the State
+        assembly — kick, action latency, physics, observation, contact
+        filters, termination, rewards, and the carried-field updates — as
+        a pure function of explicit inputs (reference
+        environment.py:348-483). This is the batch-fusion boundary: the
+        SoA env kernel re-emits exactly this function in batch-on-lanes
+        form, while the fallback path vmaps this implementation.
+        """
         # random kick: both occurrence and velocity are random
         # (reference environment.py:351-356)
-        kick = noise["kick"]
-        qvel = state.pipeline_state.qvel
-        qvel = qvel.at[:2].set(kick + qvel[:2])
-        state = state.tree_replace({"pipeline_state.qvel": qvel})
+        qvel = qvel.at[:2].set(noise["kick"] + qvel[:2])
 
         # action latency (reference environment.py:358-361)
-        lagged_action, info["action_buffer"] = utils.apply_lagged_value(
-            info["action_buffer"], action, noise["act_lat"]
+        lagged_action, action_buffer = utils.apply_lagged_value(
+            env_in["action_buffer"], action, noise["act_lat"]
         )
 
         # physics (reference environment.py:364-366)
         motor_targets = self._default_pose + lagged_action * self._action_scale
         motor_targets = jnp.clip(motor_targets, self.lowers, self.uppers)
         if self._use_soa_cv:
-            pipeline_state = self._cv_pipeline_step(
-                m, state.pipeline_state, motor_targets
-            )
+            pipeline_state = self._cv_pipeline_step(m, qpos, qvel, motor_targets)
         else:
             pipeline_state = pipeline.pipeline_step(
-                m, state.pipeline_state, motor_targets,
+                m, pipeline._zeros_state(m, qpos, qvel), motor_targets,
                 n_substeps=self._n_substeps,
             )
 
-        obs = self._get_obs(pipeline_state, info, state.obs, noise=noise)
+        obs_info = {
+            "command": env_in["command"],
+            "desired_world_z_in_body_frame": env_in["desired_z"],
+            "imu_buffer": env_in["imu_buffer"],
+            "last_act": env_in["last_act"],
+        }
+        obs = self._get_obs(
+            pipeline_state, obs_info, env_in["obs_history"], noise=noise
+        )
+        imu_buffer = obs_info["imu_buffer"]
         joint_angles = pipeline_state.q[7:]
         joint_vel = pipeline_state.qd[6:]
 
@@ -436,10 +457,10 @@ class PupperV3Env(Env):
         foot_pos = pipeline_state.site_xpos[self._feet_site_id]
         foot_contact_z = foot_pos[:, 2] - self._foot_radius
         contact = foot_contact_z < 1e-3
-        contact_filt_mm = contact | info["last_contact"]
-        contact_filt_cm = (foot_contact_z < 3e-2) | info["last_contact"]
-        first_contact = (info["feet_air_time"] > 0) * contact_filt_mm
-        info["feet_air_time"] = info["feet_air_time"] + self.dt
+        contact_filt_mm = contact | env_in["last_contact"]
+        contact_filt_cm = (foot_contact_z < 3e-2) | env_in["last_contact"]
+        first_contact = (env_in["feet_air_time"] > 0) * contact_filt_mm
+        feet_air_time = env_in["feet_air_time"] + self.dt
 
         # termination (reference environment.py:383-388)
         up = jnp.array([0.0, 0.0, 1.0], self._dtype)
@@ -454,13 +475,13 @@ class PupperV3Env(Env):
         sigma = self._reward_config.rewards.tracking_sigma
         rewards_dict = {
             "tracking_lin_vel": rewards.reward_tracking_lin_vel(
-                info["command"], pipeline_state, tracking_sigma=sigma
+                env_in["command"], pipeline_state, tracking_sigma=sigma
             ),
             "tracking_ang_vel": rewards.reward_tracking_ang_vel(
-                info["command"], pipeline_state, tracking_sigma=sigma
+                env_in["command"], pipeline_state, tracking_sigma=sigma
             ),
             "tracking_orientation": rewards.reward_tracking_orientation(
-                info["desired_world_z_in_body_frame"],
+                env_in["desired_z"],
                 pipeline_state,
                 tracking_sigma=sigma,
             ),
@@ -469,17 +490,17 @@ class PupperV3Env(Env):
             "orientation": rewards.reward_orientation(pipeline_state),
             "torques": rewards.reward_torques(pipeline_state.qfrc_actuator),
             "joint_acceleration": rewards.reward_joint_acceleration(
-                joint_vel, info["last_vel"], dt=self._dt
+                joint_vel, env_in["last_vel"], dt=self._dt
             ),
             "mechanical_work": rewards.reward_mechanical_work(
                 pipeline_state.qfrc_actuator[6:], pipeline_state.qvel[6:]
             ),
-            "action_rate": rewards.reward_action_rate(action, info["last_act"]),
+            "action_rate": rewards.reward_action_rate(action, env_in["last_act"]),
             "stand_still": rewards.reward_stand_still(
-                info["command"], joint_angles, self._default_pose, 0.1
+                env_in["command"], joint_angles, self._default_pose, 0.1
             ),
             "stand_still_joint_velocity": rewards.reward_stand_still(
-                info["command"],
+                env_in["command"],
                 joint_vel,
                 jnp.zeros(12, self._dtype),
                 self._stand_still_command_threshold,
@@ -489,7 +510,7 @@ class PupperV3Env(Env):
                 desired_abduction_angles=self._desired_abduction_angles,
             ),
             "feet_air_time": rewards.reward_feet_air_time(
-                info["feet_air_time"], first_contact, info["command"]
+                feet_air_time, first_contact, env_in["command"]
             ),
             "foot_slip": rewards.reward_foot_slip(
                 pipeline_state,
@@ -499,7 +520,7 @@ class PupperV3Env(Env):
             ),
             "termination": rewards.reward_termination(
                 done,
-                info["step"],
+                env_in["step"],
                 step_threshold=self._early_termination_step_threshold,
             ),
             "knee_collision": rewards.reward_geom_collision(
@@ -515,51 +536,103 @@ class PupperV3Env(Env):
         }
         reward = jnp.clip(sum(rewards_dict.values()) * self.dt, 0.0, 10000.0)
 
-        # state management (reference environment.py:448-455)
-        info["kick"] = kick
-        info["last_act"] = action
-        info["last_vel"] = joint_vel
-        info["feet_air_time"] = info["feet_air_time"] * ~contact_filt_mm
-        info["last_contact"] = contact
-        info["rewards"] = rewards_dict
-        info["step"] = info["step"] + 1
+        # carried-field updates (reference environment.py:448-455)
+        feet_air_time = feet_air_time * ~contact_filt_mm
+        step_count = env_in["step"] + 1
 
         # command + orientation resample (NOTE: the same cmd_rng feeds both,
         # preserving the reference's reuse quirk, environment.py:457-469)
-        info["command"] = jnp.where(
-            info["step"] > self._resample_velocity_step,
+        command = jnp.where(
+            step_count > self._resample_velocity_step,
             noise["resample_cmd"],
-            info["command"],
+            env_in["command"],
         )
-        info["desired_world_z_in_body_frame"] = jnp.where(
-            info["step"] > self._resample_velocity_step,
+        desired_z = jnp.where(
+            step_count > self._resample_velocity_step,
             noise["resample_ori"],
-            info["desired_world_z_in_body_frame"],
+            env_in["desired_z"],
         )
 
         # reset the step counter when done or past the resample horizon
-        info["step"] = jnp.where(
-            done | (info["step"] > self._resample_velocity_step), 0, info["step"]
+        step_count = jnp.where(
+            done | (step_count > self._resample_velocity_step), 0, step_count
         )
 
-        metrics = dict(state.metrics)
-        metrics["total_dist"] = math.normalize(
+        total_dist = math.normalize(
             pipeline_state.x_pos[self._torso_idx - 1]
         )[1]
-        metrics.update(rewards_dict)
 
-        done = done.astype(self._dtype)
+        env_out = {
+            "obs": obs,
+            "reward": reward,
+            "done": done.astype(self._dtype),
+            "action_buffer": action_buffer,
+            "imu_buffer": imu_buffer,
+            "command": command,
+            "desired_z": desired_z,
+            "feet_air_time": feet_air_time,
+            "last_contact": contact,
+            "step": step_count,
+            "rewards": rewards_dict,
+            "total_dist": total_dist,
+        }
+        return pipeline_state, env_out
+
+    def step(
+        self, state: State, action: jax.Array, model: Optional[RobotModel] = None
+    ) -> State:
+        m = self.model if model is None else model
+        info = dict(state.info)
+
+        noise = self._draw_step_noise(info["rng"])
+        info["rng"] = noise["rng"]
+        core_noise = {k: noise[k] for k in self._CORE_NOISE_KEYS}
+        env_in = {
+            "action_buffer": info["action_buffer"],
+            "imu_buffer": info["imu_buffer"],
+            "command": info["command"],
+            "desired_z": info["desired_world_z_in_body_frame"],
+            "last_act": info["last_act"],
+            "last_vel": info["last_vel"],
+            "feet_air_time": info["feet_air_time"],
+            "last_contact": info["last_contact"],
+            "step": info["step"],
+            "obs_history": state.obs,
+        }
+        pipeline_state, env_out = self._step_core(
+            m, state.pipeline_state.qpos, state.pipeline_state.qvel, action,
+            env_in, core_noise,
+        )
+
+        # state management (reference environment.py:448-469)
+        info["kick"] = noise["kick"]
+        info["last_act"] = action
+        info["last_vel"] = pipeline_state.qd[6:]
+        info["action_buffer"] = env_out["action_buffer"]
+        info["imu_buffer"] = env_out["imu_buffer"]
+        info["feet_air_time"] = env_out["feet_air_time"]
+        info["last_contact"] = env_out["last_contact"]
+        info["rewards"] = env_out["rewards"]
+        info["step"] = env_out["step"]
+        info["command"] = env_out["command"]
+        info["desired_world_z_in_body_frame"] = env_out["desired_z"]
+
+        metrics = dict(state.metrics)
+        metrics["total_dist"] = env_out["total_dist"]
+        metrics.update(env_out["rewards"])
+
         return state.replace(
             pipeline_state=pipeline_state,
-            obs=obs,
-            reward=reward,
-            done=done,
+            obs=env_out["obs"],
+            reward=env_out["reward"],
+            done=env_out["done"],
             metrics=metrics,
             info=info,
         )
 
     def _cv_pipeline_step(
-        self, m: RobotModel, ps: PhysicsState, motor_targets: jax.Array
+        self, m: RobotModel, qpos: jax.Array, qvel: jax.Array,
+        motor_targets: jax.Array,
     ) -> PhysicsState:
         """Physics step through the custom_vmap SoA splice; re-attaches the
         static per-pair contact metadata (plane frames are constants for
@@ -569,7 +642,7 @@ class PupperV3Env(Env):
         (
             qp, qv, qacc, x_pos, x_rot, xd_vel, xd_ang, xpos, site_xpos,
             qfrc_act, con_dist, con_pos,
-        ) = self._cv_step(m, ps.qpos, ps.qvel, motor_targets)
+        ) = self._cv_step(m, qpos, qvel, motor_targets)
         st = self._pair_statics
         gf = m.geom_friction[..., 0]
         mu = jnp.stack(
