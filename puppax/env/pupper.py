@@ -118,18 +118,34 @@ class PupperV3Env(Env):
         xml_string: Optional[str] = None,
         dtype=jnp.float32,
     ):
+        # defaults as host numpy so the SoA env kernel can digest them
+        # without a device->host transfer (soa_env.host_consts_from_args)
         if default_pose is None:
-            default_pose = jnp.array(
+            default_pose = np.array(
                 [0.26, 0.0, -0.52, -0.26, 0.0, 0.52, 0.26, 0.0, -0.52, -0.26, 0.0, 0.52]
             )
         if desired_abduction_angles is None:
-            desired_abduction_angles = jnp.array([0.0, 0.0, 0.0, 0.0])
+            desired_abduction_angles = np.array([0.0, 0.0, 0.0, 0.0])
         if latency_distribution is None:
-            latency_distribution = jnp.array([0.2, 0.8])
+            latency_distribution = np.array([0.2, 0.8])
         if imu_latency_distribution is None:
-            imu_latency_distribution = jnp.array([0.5, 0.5])
+            imu_latency_distribution = np.array([0.5, 0.5])
         if desired_world_z_in_body_frame is None:
-            desired_world_z_in_body_frame = jnp.array([0.0, 0.0, 1.0])
+            desired_world_z_in_body_frame = np.array([0.0, 0.0, 1.0])
+
+        # host copies of the ctor constants the fused env kernel bakes in
+        # (None if any came in as a device array — kernel then disabled)
+        from puppax.env import soa_env as _soa_env
+
+        _host_consts = _soa_env.host_consts_from_args(
+            default_pose=default_pose,
+            desired_abduction_angles=desired_abduction_angles,
+            latency_distribution=latency_distribution,
+            imu_latency_distribution=imu_latency_distribution,
+            joint_lower_limits=joint_lower_limits,
+            joint_upper_limits=joint_upper_limits,
+            action_scale=action_scale,
+        )
 
         compiled: CompiledModel = load_model(path, dtype=dtype, xml_string=xml_string)
         self.mj_model = compiled.mj_model
@@ -215,6 +231,7 @@ class PupperV3Env(Env):
         from puppax.physics import soa as _soa
 
         self._use_soa_cv = dtype == jnp.float32 and _soa.soa_supported(model)
+        self._use_soa_env = False
         if self._use_soa_cv:
             self._cv_step = pipeline.make_batched_step(
                 model, self._n_substeps, mj_model=self.mj_model
@@ -222,6 +239,13 @@ class PupperV3Env(Env):
             self._pair_statics = pipeline.pair_contact_statics(
                 model, mj_model=self.mj_model
             )
+            # fused env-step kernel (physics + obs + rewards in one
+            # pallas call) — custom_vmap over the whole step core
+            self._use_soa_env = _host_consts is not None
+            if self._use_soa_env:
+                self._cv_core = _soa_env.make_batched_core(
+                    self, model, self.mj_model, self._n_substeps, _host_consts
+                )
 
     # ---- properties -----------------------------------------------------
     @property
@@ -599,10 +623,20 @@ class PupperV3Env(Env):
             "step": info["step"],
             "obs_history": state.obs,
         }
-        pipeline_state, env_out = self._step_core(
-            m, state.pipeline_state.qpos, state.pipeline_state.qvel, action,
-            env_in, core_noise,
-        )
+        if self._use_soa_env:
+            # custom_vmap splice: single-env traces fall back to
+            # _step_core; under vmap on a TPU backend the whole core runs
+            # as ONE fused pallas kernel (puppax/env/soa_env.py)
+            ptuple, env_out = self._cv_core(
+                m, state.pipeline_state.qpos, state.pipeline_state.qvel,
+                action, env_in, core_noise,
+            )
+            pipeline_state = self._ps_from_tuple(m, ptuple)
+        else:
+            pipeline_state, env_out = self._step_core(
+                m, state.pipeline_state.qpos, state.pipeline_state.qvel,
+                action, env_in, core_noise,
+            )
 
         # state management (reference environment.py:448-469)
         info["kick"] = noise["kick"]
@@ -634,15 +668,19 @@ class PupperV3Env(Env):
         self, m: RobotModel, qpos: jax.Array, qvel: jax.Array,
         motor_targets: jax.Array,
     ) -> PhysicsState:
-        """Physics step through the custom_vmap SoA splice; re-attaches the
-        static per-pair contact metadata (plane frames are constants for
-        the supported model class)."""
+        """Physics step through the custom_vmap SoA splice."""
+        return self._ps_from_tuple(m, self._cv_step(m, qpos, qvel, motor_targets))
+
+    def _ps_from_tuple(self, m: RobotModel, tup) -> PhysicsState:
+        """Assemble a PhysicsState from the 12-array splice tuple,
+        re-attaching the static per-pair contact metadata (plane frames
+        are constants for the supported model class)."""
         from puppax.physics import collision
 
         (
             qp, qv, qacc, x_pos, x_rot, xd_vel, xd_ang, xpos, site_xpos,
             qfrc_act, con_dist, con_pos,
-        ) = self._cv_step(m, qpos, qvel, motor_targets)
+        ) = tup
         st = self._pair_statics
         gf = m.geom_friction[..., 0]
         mu = jnp.stack(

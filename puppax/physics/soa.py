@@ -1295,17 +1295,9 @@ def _emit_caches(s: _Static, fw, out_ref, ref):
     for b in range(1, s.nbody):
         xq.extend(fw["xquat"][b])
     put("xquat", xq)
-    # world-frame per-link velocities (pipeline._make_state):
-    # ang = cvel_ang; vel = cvel_lin + ang x (xpos - com_root)
-    xd_ang, xd_vel = [], []
-    for b in range(1, s.nbody):
-        ang, lin = fw["cvel"][b]
-        off = vsub3(fw["xpos"][b], fw["com_root"])
-        vel = vadd3(lin, vcross3(ang, off))
-        xd_ang.extend(ang)
-        xd_vel.extend(vel)
-    put("xd_ang", xd_ang)
-    put("xd_vel", xd_vel)
+    ang_l, vel_l = _link_velocities(s, fw)
+    put("xd_ang", [c for a in ang_l for c in a])
+    put("xd_vel", [c for vv in vel_l for c in vv])
     sites = []
     for sxyz in fw["sites"]:
         sites.extend(sxyz)
@@ -1316,6 +1308,54 @@ def _emit_caches(s: _Static, fw, out_ref, ref):
     for p3 in fw["con_pos"]:
         cpos.extend(p3)
     put("con_pos", cpos)
+
+
+def _emit_substeps(s: _Static, q, v, ctrl, dr, n_substeps: int):
+    """Emit the n_substeps pipeline: all-but-last substeps via a fori_loop
+    of (forward + integrate), then the final forward. Returns
+    (q, v, fw) with q/v the state BEFORE the final integrate and fw the
+    last forward pass — the step's cache source. Shared by the physics
+    kernel and the fused env-step kernel."""
+    ref = q[0]
+    if n_substeps > 1:
+        def body(_, carry):
+            qs, vs = carry
+            ql = [qs[i] for i in range(s.nq)]
+            vl = [vs[i] for i in range(s.nv)]
+            fw = _emit_forward(s, ql, vl, ctrl, dr)
+            q2, v2 = _emit_integrate(s, ql, vl, fw["qacc"])
+            return (
+                jnp.stack([materialize(t, ref) for t in q2]),
+                jnp.stack([materialize(t, ref) for t in v2]),
+            )
+
+        qs, vs = jax.lax.fori_loop(
+            0, n_substeps - 1, body,
+            (
+                jnp.stack([materialize(t, ref) for t in q]),
+                jnp.stack([materialize(t, ref) for t in v]),
+            ),
+        )
+        q = [qs[i] for i in range(s.nq)]
+        v = [vs[i] for i in range(s.nv)]
+
+    fw = _emit_forward(s, q, v, ctrl, dr)
+    return q, v, fw
+
+
+def _link_velocities(s: _Static, fw):
+    """World-frame per-link velocities from the forward caches
+    (pipeline._make_state semantics): ang = cvel_ang,
+    vel = cvel_lin + ang x (xpos - com_root). Returns (xd_ang, xd_vel)
+    lists indexed by body-1 (world dropped)."""
+    xd_ang, xd_vel = [], []
+    for b in range(1, s.nbody):
+        ang, lin = fw["cvel"][b]
+        off = vsub3(fw["xpos"][b], fw["com_root"])
+        vel = vadd3(lin, vcross3(ang, off))
+        xd_ang.append(ang)
+        xd_vel.append(vel)
+    return xd_ang, xd_vel
 
 
 def _build_kernel(s: _Static, n_substeps: int, integrate: bool):
@@ -1331,25 +1371,7 @@ def _build_kernel(s: _Static, n_substeps: int, integrate: bool):
         }
         ref = q[0]
 
-        if n_substeps > 1:
-            def body(_, carry):
-                qs, vs = carry
-                ql = [qs[i] for i in range(s.nq)]
-                vl = [vs[i] for i in range(s.nv)]
-                fw = _emit_forward(s, ql, vl, ctrl, dr)
-                q2, v2 = _emit_integrate(s, ql, vl, fw["qacc"])
-                return (
-                    jnp.stack([materialize(t, ref) for t in q2]),
-                    jnp.stack([materialize(t, ref) for t in v2]),
-                )
-
-            qs, vs = jax.lax.fori_loop(
-                0, n_substeps - 1, body, (jnp.stack(q), jnp.stack(v))
-            )
-            q = [qs[i] for i in range(s.nq)]
-            v = [vs[i] for i in range(s.nv)]
-
-        fw = _emit_forward(s, q, v, ctrl, dr)
+        q, v, fw = _emit_substeps(s, q, v, ctrl, dr, n_substeps)
         _emit_caches(s, fw, cache_ref, ref)
         if integrate:
             q2, v2 = _emit_integrate(s, q, v, fw["qacc"])

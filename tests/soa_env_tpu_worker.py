@@ -1,0 +1,93 @@
+"""Worker: compiled fused env-step kernel vs the physics-kernel-only path
+on the accelerator.
+
+Run by tests/test_soa_env.py::test_on_device_env_kernel in a subprocess
+with default platform resolution. Prints one JSON line.
+
+IMPORTANT: all timing happens before any device->host read — a single
+D2H transfer permanently degrades the tunneled TPU's dispatch latency.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    backend = jax.default_backend()
+    if backend == "cpu":
+        print(json.dumps({"backend": "cpu"}))
+        return
+
+    from puppax.configs import get_config
+    from puppax.env import PupperV3Env
+
+    B = 2048
+    T = 3
+    STEPS_TIMED = 50
+
+    def build(env_mode):
+        os.environ["PUPPAX_SOA"] = "auto"
+        os.environ["PUPPAX_SOA_ENV"] = env_mode
+        return PupperV3Env(
+            path=None,
+            reward_config=get_config(),
+            action_scale=0.75,
+            observation_history=2,
+        )
+
+    rngs = jax.random.split(jax.random.PRNGKey(5), B)
+    actions = [
+        jax.random.uniform(jax.random.PRNGKey(50 + t), (B, 12), minval=-0.5, maxval=0.5)
+        for t in range(T)
+    ]
+
+    results = {}
+    timings = {}
+    for mode in ("auto", "off"):
+        env = build(mode)
+        assert env._use_soa_env
+        step = jax.jit(jax.vmap(env.step))
+        state = jax.jit(jax.vmap(env.reset))(rngs)
+        warm = step(state, actions[0])
+        jax.block_until_ready(warm.obs)
+        # trajectory for comparison
+        st = state
+        for t in range(T):
+            st = step(st, actions[t])
+        jax.block_until_ready(st.obs)
+        results[mode] = st
+        # timed: STEPS_TIMED steps, block once at the end (no D2H)
+        t0 = time.perf_counter()
+        st2 = st
+        for _ in range(STEPS_TIMED):
+            st2 = step(st2, actions[0])
+        jax.block_until_ready(st2.obs)
+        timings[mode] = (time.perf_counter() - t0) / STEPS_TIMED
+
+    # D2H reads only now
+    a, b = results["auto"], results["off"]
+    out = {
+        "backend": backend,
+        "d_q": float(jnp.max(jnp.abs(a.pipeline_state.qpos - b.pipeline_state.qpos))),
+        "d_obs": float(jnp.max(jnp.abs(a.obs - b.obs))),
+        "d_rew": float(jnp.max(jnp.abs(a.reward - b.reward))),
+        "d_done": float(jnp.max(jnp.abs(a.done - b.done))),
+        "d_step": float(jnp.max(jnp.abs(
+            (a.info["step"] - b.info["step"]).astype(jnp.float32)))),
+        "finite": bool(jnp.all(jnp.isfinite(a.obs))),
+        "env_kernel_us_per_step": timings["auto"] * 1e6,
+        "phys_kernel_us_per_step": timings["off"] * 1e6,
+        "env_kernel_env_steps_per_s": B / timings["auto"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

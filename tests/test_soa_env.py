@@ -1,0 +1,281 @@
+"""Fused env-step SoA kernel: correctness vs the XLA step core.
+
+Same strategy as tests/test_soa.py: the emitted program is validated
+host-side on 0-d values (the value algebra is layout-agnostic) against
+the oracle-verified XLA `_step_core`; the pallas LOWERING of the same
+program is covered by the tpu-marked on-device test (interpret mode is
+impractically slow for this program on CPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from puppax.configs import get_config
+from puppax.env import PupperV3Env, soa_env
+from puppax.physics import soa
+
+
+@pytest.fixture(scope="module")
+def env():
+    # one physics substep per env step: the 0-d host-side emission runs
+    # eagerly (~2 s per forward pass), so the multi-substep fori_loop —
+    # already covered by the physics-kernel tests — is dropped here (same
+    # trick as tests/test_soa.py)
+    return PupperV3Env(
+        path=None,
+        reward_config=get_config(),
+        action_scale=0.75,
+        observation_history=2,
+        maximum_pitch_command=10.0,
+        maximum_roll_command=10.0,
+        environment_timestep=0.004,
+        physics_timestep=0.004,
+    )
+
+
+def _random_env_inputs(env, rng):
+    """Plausible random single-env (qpos, qvel, action, env_in, noise)."""
+    m = env.model
+    qpos = np.asarray(m.key_qpos, np.float32).copy()
+    qpos[2] = rng.uniform(0.05, 0.35)
+    quat = rng.normal(0, 1, 4) * 0.1 + np.array([1.0, 0, 0, 0])
+    qpos[3:7] = quat / np.linalg.norm(quat)
+    qpos[7:] += rng.uniform(-0.3, 0.3, 12)
+    qvel = rng.uniform(-1.0, 1.0, 18).astype(np.float32)
+    action = rng.uniform(-1.0, 1.0, 12).astype(np.float32)
+
+    Da = env._latency_distribution.shape[0]
+    Di = env._imu_latency_distribution.shape[0]
+    act_ind = rng.randint(Da)
+    imu_ind = rng.randint(Di)
+    env_in = {
+        "action_buffer": rng.uniform(-1, 1, (12, Da)).astype(np.float32),
+        "imu_buffer": rng.uniform(-1, 1, (6, Di)).astype(np.float32),
+        "command": rng.uniform(-0.7, 0.7, 3).astype(np.float32),
+        "desired_z": np.array([0.05, -0.02, 0.99], np.float32),
+        "last_act": rng.uniform(-1, 1, 12).astype(np.float32),
+        "last_vel": rng.uniform(-2, 2, 12).astype(np.float32),
+        "feet_air_time": rng.uniform(0, 0.3, 4).astype(np.float32),
+        "last_contact": rng.rand(4) < 0.5,
+        "step": np.int32(rng.randint(0, 600)),
+        "obs_history": rng.uniform(-1, 1, 72).astype(np.float32),
+    }
+    noise = {
+        "kick": (rng.uniform(-1, 1, 2) * (rng.rand() < 0.3)).astype(np.float32),
+        "act_lat": np.eye(Da, dtype=np.float32)[act_ind],
+        "imu_lat": np.eye(Di, dtype=np.float32)[imu_ind],
+        "ang_vel_noise": rng.uniform(-0.3, 0.3, 3).astype(np.float32),
+        "gravity_noise": rng.uniform(-0.1, 0.1, 3).astype(np.float32),
+        "motor_ang_noise": rng.uniform(-0.1, 0.1, 12).astype(np.float32),
+        "last_action_noise": rng.uniform(-0.01, 0.01, 12).astype(np.float32),
+        "resample_cmd": rng.uniform(-0.7, 0.7, 3).astype(np.float32),
+        "resample_ori": np.array([-0.03, 0.06, 0.98], np.float32),
+    }
+    return qpos, qvel, action, env_in, noise
+
+
+def test_env_emitter_matches_xla_core(env):
+    """The fused env-step program (host-side on 0-d values) vs the XLA
+    _step_core on random states: obs, reward, done, carried fields and
+    every reward term must agree to fp tolerance."""
+    assert env._use_soa_env
+    s, es = env._cv_core._s, env._cv_core._es
+    m = env.model
+
+    def xla_core(qpos, qvel, action, env_in, noise):
+        ps, env_out = env._step_core(m, qpos, qvel, action, env_in, noise)
+        return ps, env_out
+
+    jit_core = jax.jit(xla_core)
+    dr = soa.dr_inputs(m, s, 1)
+
+    rng = np.random.RandomState(0)
+    for trial in range(6):
+        qpos, qvel, action, env_in, noise = _random_env_inputs(env, rng)
+        ps, ref = jit_core(
+            jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(action),
+            {k: jnp.asarray(v) for k, v in env_in.items()},
+            {k: jnp.asarray(v) for k, v in noise.items()},
+        )
+
+        # 0-d trace through the emitter
+        ql = [jnp.float32(x) for x in qpos]
+        vl = [jnp.float32(x) for x in qvel]
+        al = [jnp.float32(x) for x in action]
+        envl = {
+            k: [jnp.float32(x) for x in np.asarray(v, np.float32).reshape(-1)]
+            for k, v in env_in.items()
+        }
+        noil = {
+            k: [jnp.float32(x) for x in np.asarray(v).reshape(-1)]
+            for k, v in noise.items()
+        }
+        drl = {
+            k: [jnp.float32(x) for x in np.asarray(arr[0]).reshape(-1)]
+            for k, arr in dr.items()
+        }
+        q2, v2, fw, out = soa_env._emit_env_step(
+            s, es, ql, vl, al, envl, noil, drl, env._n_substeps
+        )
+
+        def val(x):
+            return float(soa.materialize(x, ql[0]))
+
+        # physics outputs
+        np.testing.assert_allclose(
+            [val(x) for x in q2], np.asarray(ps.qpos), atol=5e-5,
+            err_msg=f"trial {trial} qpos",
+        )
+        scale_v = max(1.0, float(np.max(np.abs(np.asarray(ps.qvel)))))
+        np.testing.assert_allclose(
+            np.array([val(x) for x in v2]) / scale_v,
+            np.asarray(ps.qvel) / scale_v, atol=5e-4,
+            err_msg=f"trial {trial} qvel",
+        )
+
+        # observation stack
+        np.testing.assert_allclose(
+            [val(x) for x in out["obs_history"]], np.asarray(ref["obs"]),
+            atol=2e-4, err_msg=f"trial {trial} obs",
+        )
+        # scalars + carried fields
+        np.testing.assert_allclose(
+            val(out["reward"][0]), float(ref["reward"]), atol=2e-4,
+            err_msg=f"trial {trial} reward",
+        )
+        assert val(out["done"][0]) == float(ref["done"]), f"trial {trial} done"
+        np.testing.assert_allclose(
+            [val(x) for x in out["action_buffer"]],
+            np.asarray(ref["action_buffer"]).reshape(-1), atol=1e-6,
+            err_msg=f"trial {trial} action_buffer",
+        )
+        np.testing.assert_allclose(
+            [val(x) for x in out["imu_buffer"]],
+            np.asarray(ref["imu_buffer"]).reshape(-1), atol=1e-4,
+            err_msg=f"trial {trial} imu_buffer",
+        )
+        np.testing.assert_allclose(
+            [val(x) for x in out["command"]], np.asarray(ref["command"]),
+            atol=1e-6, err_msg=f"trial {trial} command",
+        )
+        np.testing.assert_allclose(
+            [val(x) for x in out["desired_z"]], np.asarray(ref["desired_z"]),
+            atol=1e-6, err_msg=f"trial {trial} desired_z",
+        )
+        np.testing.assert_allclose(
+            [val(x) for x in out["feet_air_time"]],
+            np.asarray(ref["feet_air_time"]), atol=1e-5,
+            err_msg=f"trial {trial} feet_air_time",
+        )
+        np.testing.assert_array_equal(
+            [val(x) > 0.5 for x in out["last_contact"]],
+            np.asarray(ref["last_contact"]), err_msg=f"trial {trial} last_contact",
+        )
+        assert int(round(val(out["step"][0]))) == int(ref["step"]), (
+            f"trial {trial} step"
+        )
+        for i, k in enumerate(soa_env.REWARD_ORDER):
+            got = val(out["rewards"][i])
+            want = float(ref["rewards"][k])
+            tol = 2e-4 * max(1.0, abs(want))
+            assert abs(got - want) <= tol, (
+                f"trial {trial} reward term {k}: {got} vs {want}"
+            )
+        np.testing.assert_allclose(
+            val(out["total_dist"][0]), float(ref["total_dist"]), atol=1e-4,
+            err_msg=f"trial {trial} total_dist",
+        )
+
+
+@pytest.mark.slow
+def test_env_cv_wiring_matches_direct_core(monkeypatch):
+    """The env-level custom_vmap FALLBACK path (cv wrapper + tuple
+    packing + State reassembly) must reproduce the direct _step_core path
+    exactly — guards the splice wiring. The kernel leg is covered by the
+    tpu-marked on-device test."""
+    monkeypatch.setenv("PUPPAX_SOA_ENV", "off")
+    monkeypatch.setenv("PUPPAX_SOA", "off")
+
+    def run(use_cv):
+        e = PupperV3Env(
+            path=None,
+            reward_config=get_config(),
+            action_scale=0.75,
+            observation_history=2,
+        )
+        assert e._use_soa_env
+        if not use_cv:
+            e._use_soa_env = False
+        B = 4
+        rngs = jax.random.split(jax.random.PRNGKey(7), B)
+        state = jax.jit(jax.vmap(e.reset))(rngs)
+        step = jax.jit(jax.vmap(e.step))
+        outs = []
+        for t in range(3):
+            act = jax.random.uniform(
+                jax.random.PRNGKey(200 + t), (B, 12), minval=-0.5, maxval=0.5
+            )
+            state = step(state, act)
+            outs.append(
+                (np.asarray(state.obs), np.asarray(state.reward),
+                 np.asarray(state.done), np.asarray(state.info["step"]),
+                 np.asarray(state.pipeline_state.qpos))
+            )
+        assert state.info["step"].dtype == jnp.int32
+        assert state.info["last_contact"].dtype == jnp.bool_
+        return outs
+
+    ref = run(use_cv=False)
+    got = run(use_cv=True)
+    for t, (a, b) in enumerate(zip(ref, got)):
+        for name, x, y in zip(("obs", "rew", "done", "step", "qpos"), a, b):
+            np.testing.assert_array_equal(x, y, err_msg=f"{name} t={t}")
+
+
+def test_reward_order_matches_scales(env):
+    """REWARD_ORDER must cover exactly the configured scale keys (dict
+    pytrees are key-sorted by JAX, so only the SET must match)."""
+    assert set(soa_env.REWARD_ORDER) == set(
+        env._reward_config.rewards.scales.keys()
+    )
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_on_device_env_kernel():
+    """Compiled fused env-step kernel vs the physics-kernel-only path on
+    the real chip: 3-step batched trajectories agree, finite, and the
+    fused path is faster (re-exec worker pattern, see
+    tests/test_tpu_numerics.py)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "soa_env_tpu_worker.py")
+    penv = dict(os.environ)
+    penv.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    penv["PYTHONPATH"] = repo + os.pathsep + penv.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, worker], env=penv, capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    if result["backend"] == "cpu":
+        pytest.skip("no accelerator present (worker resolved to cpu)")
+    assert result["finite"]
+    assert result["d_done"] == 0.0
+    assert result["d_step"] == 0.0
+    # 3 steps from reset: f32-noise-level agreement (chaos has not had
+    # time to amplify)
+    assert result["d_q"] < 5e-3, result
+    assert result["d_obs"] < 2e-2, result
+    assert result["d_rew"] < 1e-3, result
+    # the fused path must beat the physics-kernel-only path end-to-end
+    assert (
+        result["env_kernel_us_per_step"] < result["phys_kernel_us_per_step"]
+    ), result
