@@ -257,12 +257,22 @@ class _Pair(NamedTuple):
     # ss only: the first sphere (geom1 side)
     radius1: float = 0.0
     sphere_off1: tuple = (0.0, 0.0, 0.0)
+    # bs only: world-static box pose (rows of the rotation matrix) + size
+    box_R: tuple = ()
+    box_pos: tuple = (0.0, 0.0, 0.0)
+    box_half: tuple = (0.0, 0.0, 0.0)
 
 
 def soa_supported(m: RobotModel) -> bool:
     """True when the model is in the SoA kernel's supported class."""
-    if m.pairs_sphere_box or m.pairs_hfield_sphere:
+    if m.pairs_hfield_sphere:
         return False
+    # sphere-box supported only for WORLD-STATIC boxes (obstacle terrain:
+    # box pose is a trace-time constant, so the narrowphase reduces to
+    # clamped point-in-OBB algebra like the plane case)
+    for _, g2 in m.pairs_sphere_box:
+        if m.geom_bodyid[g2] != 0:
+            return False
     if (
         getattr(m, "pairs_plane_capsule", ())
         or getattr(m, "pairs_sphere_capsule", ())
@@ -470,6 +480,42 @@ class _Static:
                     body2=int(b2),
                     radius1=float(geom_size[g1][0]),
                     sphere_off1=tuple(geom_pos[g1]),
+                )
+            )
+        # sphere-box candidates (world-static boxes: obstacle terrain).
+        # Pair order must match collision.collide's reporting order
+        # (plane-sphere, sphere-sphere, sphere-box).
+        for g1, g2 in m.pairs_sphere_box:
+            sb = m.geom_bodyid[g1]
+            w, x, y, z = geom_quat[g2]
+            R = np.array(
+                [
+                    [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                    [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                    [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+                ]
+            )
+            self.pairs.append(
+                _Pair(
+                    kind="bs",
+                    sphere_geom=g1,
+                    sphere_body=sb,
+                    radius=float(geom_size[g1][0]),
+                    sphere_off=tuple(geom_pos[g1]),
+                    plane_point=(0.0, 0.0, 0.0),
+                    plane_n=(0.0, 0.0, 1.0),
+                    frame_t1=(0.0, 1.0, 0.0),
+                    frame_t2=(-1.0, 0.0, 0.0),
+                    solref=tuple(0.5 * (geom_solref[g1] + geom_solref[g2])),
+                    solimp=tuple(0.5 * (geom_solimp[g1] + geom_solimp[g2])),
+                    invweight=float(body_iw[sb] + body_iw[m.geom_bodyid[g2]]),
+                    geom1=int(g1),
+                    geom2=int(g2),
+                    body1=int(sb),
+                    body2=int(m.geom_bodyid[g2]),
+                    box_R=tuple(tuple(float(c) for c in row) for row in R),
+                    box_pos=tuple(float(c) for c in geom_pos[g2]),
+                    box_half=tuple(float(c) for c in geom_size[g2]),
                 )
             )
         self.npair = len(self.pairs)
@@ -872,6 +918,74 @@ def _emit_forward(s: _Static, q, v, ctrl, dr):
             t2 = [float(x) for x in pr.frame_t2]
             # signed dof coefficients: world side contributes nothing
             dof_coeff = {d: 1.0 for d in s.chains[b]}
+        elif pr.kind == "bs":
+            # sphere vs WORLD-STATIC box (collision._sphere_box semantics):
+            # box rotation/pose/halfsize are trace-time constants
+            R = pr.box_R
+            ref0 = materialize(center[0], center[0])
+            d0 = vsub3(center, pr.box_pos)
+            # p = R^T (c - bp) : sphere center in the box frame
+            p = [
+                materialize(
+                    add(add(mul(R[0][j], d0[0]), mul(R[1][j], d0[1])),
+                        mul(R[2][j], d0[2])),
+                    ref0,
+                )
+                for j in range(3)
+            ]
+            half = [float(h) for h in pr.box_half]
+            clamped = [jnp.clip(p[j], -half[j], half[j]) for j in range(3)]
+            absp = [jnp.abs(p[j]) for j in range(3)]
+            inside = (
+                (absp[0] < half[0]) & (absp[1] < half[1]) & (absp[2] < half[2])
+            )
+            # outside: closest surface point
+            d_out = vsub3(p, clamped)
+            dist_out = jnp.sqrt(materialize(vdot3(d_out, d_out), ref0))
+            inv_out = 1.0 / jnp.maximum(dist_out, 1e-12)
+            n_out = [-materialize(d_out[j], ref0) * inv_out for j in range(3)]
+            # inside: push out along the nearest face (first-min tie-break,
+            # matching jnp.argmin)
+            gaps = [half[j] - absp[j] for j in range(3)]
+            m0 = jnp.where((gaps[0] <= gaps[1]) & (gaps[0] <= gaps[2]), 1.0, 0.0)
+            m1 = jnp.where((gaps[1] <= gaps[2]), 1.0 - m0, 0.0)
+            m2 = 1.0 - m0 - m1
+            oh = [m0, m1, m2]
+            psel = p[0] * m0 + p[1] * m1 + p[2] * m2
+            sgn = jnp.where(psel >= 0.0, 1.0, -1.0)
+            n_in = [-sgn * oh[j] for j in range(3)]
+            dist_in = -(gaps[0] * m0 + gaps[1] * m1 + gaps[2] * m2)
+            surf_in = [
+                p[j] * (1.0 - oh[j]) + oh[j] * sgn * half[j] for j in range(3)
+            ]
+            dist = jnp.where(inside, dist_in, dist_out) - pr.radius
+            n_loc = [jnp.where(inside, n_in[j], n_out[j]) for j in range(3)]
+            surf_loc = [jnp.where(inside, surf_in[j], clamped[j]) for j in range(3)]
+            # back to world: n = R n_loc ; surface = bp + R surf_loc
+            n = [
+                add(add(mul(R[i][0], n_loc[0]), mul(R[i][1], n_loc[1])),
+                    mul(R[i][2], n_loc[2]))
+                for i in range(3)
+            ]
+            surface = [
+                add(pr.box_pos[i],
+                    add(add(mul(R[i][0], surf_loc[0]), mul(R[i][1], surf_loc[1])),
+                        mul(R[i][2], surf_loc[2])))
+                for i in range(3)
+            ]
+            sph_surf = [add(center[i], mul(n[i], pr.radius)) for i in range(3)]
+            cpos = [mul(0.5, add(sph_surf[i], surface[i])) for i in range(3)]
+            # dynamic contact frame (mju_makeFrame, as collision._make_frames)
+            use_y = jnp.abs(materialize(n[1], ref0)) < 0.5
+            ax = [0.0, jnp.where(use_y, 1.0, 0.0), jnp.where(use_y, 0.0, 1.0)]
+            t2 = vcross3(n, ax)
+            t2n = jnp.maximum(jnp.sqrt(materialize(vdot3(t2, t2), ref0)), 1e-12)
+            t2 = [materialize(t2[i], ref0) / t2n for i in range(3)]
+            t1 = vcross3(t2, n)
+            # J = frame @ (jac(body2=box) - jac(body1=sphere)) = -jac_sphere:
+            # the SPHERE is geom1 here (normal points sphere -> box), the
+            # opposite of the plane-sphere orientation
+            dof_coeff = {d: -1.0 for d in s.chains[b]}
         else:  # sphere-sphere (collision._sphere_sphere semantics)
             b1 = pr.body1
             off1 = [float(x) for x in pr.sphere_off1]

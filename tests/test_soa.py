@@ -74,6 +74,118 @@ def test_soa_supported_gating(model):
     assert not soa.soa_supported(hf)
 
 
+@pytest.fixture(scope="module")
+def box_model():
+    """Obstacle-terrain variant: world-static boxes (sphere-box pairs)."""
+    import xml.etree.ElementTree as ET
+
+    from puppax.model import assets, obstacles
+
+    tree = obstacles.add_boxes_to_model(
+        assets.pupper_xml_tree(), n_boxes=4, x_range=(-1.0, 1.0),
+        y_range=(-1.0, 1.0),
+    )
+    xml = ET.tostring(tree.getroot(), encoding="unicode")
+    cm = load_model(None, xml_string=xml)
+    m = cm.robot.tree_replace({"opt.timestep": 0.004})
+    return m.replace(
+        actuator_gainprm=m.actuator_gainprm.at[:, 0].set(5.0),
+        actuator_biasprm=m.actuator_biasprm.at[:, 1].set(-5.0).at[:, 2].set(-0.25),
+    )
+
+
+def test_soa_supports_static_boxes(box_model):
+    assert len(box_model.pairs_sphere_box) > 0
+    assert soa.soa_supported(box_model)
+
+
+@pytest.mark.slow
+def test_soa_emitter_matches_xla_pipeline_boxes(box_model):
+    """Sphere-box narrowphase + constraint rows in the SoA program vs the
+    oracle-verified XLA path, on states straddling the obstacle bars."""
+    m = box_model
+    B = 16
+    qpos, qvel, ctrl = _random_states(m, B, seed=7)
+    s = soa._Static(m)
+    # place a FOOT sphere exactly on an obstacle bar, penetrating ~5mm
+    # (the XLA solver consumes the MJX-capped contact set —
+    # max_geom_pairs=4, max_contact_points=5 — so dynamics agree with the
+    # kernel's uncapped C semantics only while the caps don't bind; a
+    # 2cm-wide bar is never hit by random states)
+    from puppax.physics import smooth
+
+    bar = next(p for p in s.pairs if p.kind == "bs")
+    qp0 = np.asarray(m.key_qpos, np.float32).copy()
+    qp0[0:3] = 0.0
+    kin0 = smooth.kinematics(m, jnp.asarray(qp0))
+    axis = np.array(bar.box_R)[:, 1]  # bar length direction (local y)
+    foot_geoms = [p.sphere_geom for p in s.pairs if p.kind == "bs"][:4]
+    for e in range(4):
+        g = foot_geoms[e % len(foot_geoms)]
+        rel = np.asarray(kin0.geom_xpos[g])
+        t = (-0.6, -0.2, 0.2, 0.6)[e]
+        target = np.array(bar.box_pos) + t * axis
+        target[2] = bar.box_pos[2] + bar.box_half[2] + float(
+            np.asarray(m.geom_size)[g, 0]
+        ) - 0.005
+        base = target - rel
+        qpos = qpos.at[e, 0:3].set(jnp.asarray(base, jnp.float32))
+        qpos = qpos.at[e, 3:7].set(jnp.asarray([1.0, 0, 0, 0]))
+        qpos = qpos.at[e, 7:].set(jnp.asarray(qp0[7:]))
+        qvel = qvel.at[e].set(0.1 * qvel[e])
+    assert any(p.kind == "bs" for p in s.pairs)
+    kinds = np.array([{"ps": 0, "ss": 1, "bs": 2}[p.kind] for p in s.pairs])
+
+    def xla_step(qp, qv, ct):
+        st = pipeline._zeros_state(m, qp, qv)
+        out = pipeline.pipeline_step(m, st, ct, n_substeps=1)
+        return out.qpos, out.qvel, out.contact.dist
+
+    ref = jax.jit(jax.vmap(xla_step))(qpos, qvel, ctrl)
+    dr = soa.dr_inputs(m, s, B)
+
+    bs_dyn_checked = 0
+    for e in range(B):
+        ql = [qpos[e, i] for i in range(m.nq)]
+        vl = [qvel[e, i] for i in range(m.nv)]
+        cl = [ctrl[e, i] for i in range(m.nu)]
+        drl = {
+            k: [jnp.asarray(x, jnp.float32) for x in np.asarray(arr[e]).reshape(-1)]
+            for k, arr in dr.items()
+        }
+        fw = soa._emit_forward(s, ql, vl, cl, drl)
+        q2, v2 = soa._emit_integrate(s, ql, vl, fw["qacc"])
+        q2 = np.array([float(soa.materialize(t, qpos[e, 0])) for t in q2])
+        v2 = np.array([float(soa.materialize(t, qpos[e, 0])) for t in v2])
+        dist = np.array(
+            [float(soa.materialize(t, qpos[e, 0])) for t in fw["con_dist"]]
+        )
+        # narrowphase reporting parity holds unconditionally
+        # (pipeline_step's .contact is the uncapped collide_pairs set)
+        np.testing.assert_allclose(
+            dist, np.asarray(ref[2][e]), atol=5e-5, err_msg=f"env {e} con_dist"
+        )
+        pen = dist < 0
+        per_type_ok = all(
+            int(np.sum(pen[kinds == t])) <= m.max_geom_pairs for t in range(3)
+        )
+        if not (per_type_ok and int(np.sum(pen)) <= m.max_contact_points):
+            continue  # caps bind: the two solver semantics legitimately differ
+        if np.any(pen[kinds == 2]):
+            bs_dyn_checked += 1
+        np.testing.assert_allclose(
+            q2, np.asarray(ref[0][e]), atol=5e-5, err_msg=f"env {e} qpos"
+        )
+        scale_v = max(1.0, float(np.max(np.abs(ref[1][e]))))
+        np.testing.assert_allclose(
+            v2 / scale_v, np.asarray(ref[1][e]) / scale_v, atol=5e-4,
+            err_msg=f"env {e} qvel (relative)",
+        )
+    assert bs_dyn_checked >= 1, (
+        "no in-cap test state touched a box — dynamics not exercised"
+    )
+
+
 @pytest.mark.slow
 def test_soa_emitter_matches_xla_pipeline(model):
     """The SoA program (run host-side on 0-d values — the value algebra is
