@@ -59,6 +59,8 @@ class EnvConfig:
     environment_timestep: float = 0.02
     physics_timestep: float = 0.004
     use_imu: bool = True
+    # publish info["privileged_obs"] (ground-truth critic-only signals)
+    privileged_obs: bool = False
     start_position: StartPositionConfig = field(default_factory=StartPositionConfig)
     # obstacle terrain (obstacles.py): 0 disables
     n_obstacles: int = 0
@@ -114,6 +116,9 @@ class TrainConfig:
     clipping_epsilon: float = 0.3
     gae_lambda: float = 0.95
     normalize_observations: bool = True
+    # asymmetric actor-critic: value net sees obs + env privileged_obs
+    # (requires env.privileged_obs=true; policy/export ABI unchanged)
+    privileged_critic: bool = False
     seed: int = 0
     num_evals: int = 10
     activation: str = "elu"  # must be in utils.activation_fn_map (export ABI)

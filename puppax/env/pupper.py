@@ -115,6 +115,7 @@ class PupperV3Env(Env):
         imu_latency_distribution: jax.Array = None,
         desired_world_z_in_body_frame: jax.Array = None,
         use_imu: bool = True,
+        privileged_obs: bool = False,
         xml_string: Optional[str] = None,
         dtype=jnp.float32,
     ):
@@ -222,6 +223,7 @@ class PupperV3Env(Env):
         self._latency_distribution = jnp.asarray(latency_distribution, dtype)
         self._imu_latency_distribution = jnp.asarray(imu_latency_distribution, dtype)
         self._use_imu = use_imu
+        self._privileged_obs = privileged_obs
         self._dtype = dtype
 
         # SoA fused-kernel physics (flat model class): spliced via
@@ -266,6 +268,48 @@ class PupperV3Env(Env):
         return self.model.nu
 
     # ---- sampling helpers (RNG split order = reference) ------------------
+    @property
+    def privileged_obs_size(self) -> int:
+        """34: true local lin/ang velocity + gravity (9), joint velocities
+        (12), contact flags (4), feet air time (4), kick (2), DR leaves
+        friction/kp/torso-mass (3)."""
+        return 34
+
+    def _privileged_observation(
+        self,
+        m: RobotModel,
+        pipeline_state: PhysicsState,
+        info: Dict[str, Any],
+        kick: jax.Array,
+    ) -> jax.Array:
+        """Ground-truth critic-only observation (asymmetric actor-critic):
+        un-noised, un-lagged state the on-robot policy cannot see, plus
+        the per-env domain-randomization leaves. Computed OUTSIDE the
+        step core — enabled envs pay a few extra XLA ops, disabled envs
+        are bit-identical to the reference contract."""
+        inv_rot = math.quat_inv(pipeline_state.x_rot[self._torso_idx - 1])
+        lin = math.rotate(pipeline_state.xd_vel[self._torso_idx - 1], inv_rot)
+        ang = math.rotate(pipeline_state.xd_ang[self._torso_idx - 1], inv_rot)
+        grav = math.rotate(jnp.array([0.0, 0.0, -1.0], self._dtype), inv_rot)
+        return jnp.concatenate(
+            [
+                lin,
+                ang,
+                grav,
+                pipeline_state.qd[6:],
+                info["last_contact"].astype(self._dtype),
+                info["feet_air_time"],
+                kick,
+                jnp.stack(
+                    [
+                        m.geom_friction[0, 0],
+                        m.actuator_gainprm[0, 0],
+                        m.body_mass[self._torso_idx],
+                    ]
+                ).astype(self._dtype),
+            ]
+        )
+
     def sample_command(self, rng: jax.Array) -> jax.Array:
         """Sample a (vx, vy, wz) command; with probability
         zero_command_probability return a near-zero command
@@ -351,6 +395,10 @@ class PupperV3Env(Env):
         obs_history = jnp.zeros(
             self._observation_history * self.observation_dim, self._dtype
         )
+        if self._privileged_obs:
+            state_info["privileged_obs"] = self._privileged_observation(
+                m, pipeline_state, state_info, state_info["kick"]
+            )
         obs = self._get_obs(pipeline_state, state_info, obs_history)
         reward, done = jnp.zeros(2, self._dtype)
         metrics = {"total_dist": jnp.zeros((), self._dtype)}
@@ -650,6 +698,10 @@ class PupperV3Env(Env):
         info["step"] = env_out["step"]
         info["command"] = env_out["command"]
         info["desired_world_z_in_body_frame"] = env_out["desired_z"]
+        if self._privileged_obs:
+            info["privileged_obs"] = self._privileged_observation(
+                m, pipeline_state, info, noise["kick"]
+            )
 
         metrics = dict(state.metrics)
         metrics["total_dist"] = env_out["total_dist"]

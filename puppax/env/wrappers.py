@@ -120,6 +120,8 @@ class AutoResetWrapper(Wrapper):
         info["first_qpos"] = state.pipeline_state.qpos
         info["first_qvel"] = state.pipeline_state.qvel
         info["first_obs"] = state.obs
+        if "privileged_obs" in info:
+            info["first_privileged_obs"] = info["privileged_obs"]
         return state.replace(info=info)
 
     def step(self, state: State, action: jax.Array) -> State:
@@ -142,7 +144,14 @@ class AutoResetWrapper(Wrapper):
             qvel=where_done(state.info["first_qvel"], state.pipeline_state.qvel),
         )
         obs = where_done(state.info["first_obs"], state.obs)
-        return state.replace(pipeline_state=pipeline_state, obs=obs)
+        state = state.replace(pipeline_state=pipeline_state, obs=obs)
+        if "privileged_obs" in state.info:
+            info = dict(state.info)
+            info["privileged_obs"] = where_done(
+                info["first_privileged_obs"], info["privileged_obs"]
+            )
+            state = state.replace(info=info)
+        return state
 
 
 def wrap_for_training(

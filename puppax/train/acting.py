@@ -35,6 +35,9 @@ class Transition:
     truncation: jnp.ndarray  # episode cut off at horizon (not a failure)
     policy_extras: Dict[str, jnp.ndarray]  # log_prob, raw_action (pre-tanh)
     metrics: Dict[str, jnp.ndarray] = struct.field(default_factory=dict)
+    # critic-only signals (asymmetric actor-critic): privileged_obs /
+    # next_privileged_obs when the env publishes info["privileged_obs"]
+    extras: Dict[str, jnp.ndarray] = struct.field(default_factory=dict)
 
 
 def actor_step(
@@ -49,6 +52,12 @@ def actor_step(
     rollout pytree, so the training path leaves it off)."""
     actions, policy_extras = policy(env_state.obs, key)
     next_state = env.step(env_state, actions)
+    extras = {}
+    if "privileged_obs" in env_state.info:
+        extras = {
+            "privileged_obs": env_state.info["privileged_obs"],
+            "next_privileged_obs": next_state.info["privileged_obs"],
+        }
     return next_state, Transition(
         observation=env_state.obs,
         action=actions,
@@ -58,6 +67,7 @@ def actor_step(
         truncation=next_state.info["truncation"],
         policy_extras=policy_extras,
         metrics=dict(next_state.metrics) if collect_metrics else {},
+        extras=extras,
     )
 
 

@@ -92,8 +92,15 @@ def make_ppo_networks(
     policy_hidden_layer_sizes: Sequence[int] = (32, 32, 32, 32),
     value_hidden_layer_sizes: Sequence[int] = (256, 256, 256, 256, 256),
     activation: ActivationFn = nn.swish,
+    privileged_size: int = 0,
 ) -> PPONetworks:
-    """Build policy (obs -> 2*action logits) and value (obs -> scalar)."""
+    """Build policy (obs -> 2*action logits) and value (obs -> scalar).
+
+    ``privileged_size`` > 0 widens the VALUE network input to
+    observation_size + privileged_size (asymmetric actor-critic: the
+    critic sees ground-truth state the deployed policy cannot); the
+    policy network and the export ABI are untouched.
+    """
     dist = NormalTanhDistribution(event_size=action_size)
     policy_module = MLP(
         layer_sizes=tuple(policy_hidden_layer_sizes) + (dist.param_size,),
@@ -105,7 +112,9 @@ def make_ppo_networks(
     )
     policy_network = _make_network(policy_module, observation_size)
 
-    value_apply_module = _make_network(value_module, observation_size)
+    value_apply_module = _make_network(
+        value_module, observation_size + privileged_size
+    )
 
     def value_apply(normalizer_state, params, obs):
         return jnp.squeeze(

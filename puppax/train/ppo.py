@@ -80,6 +80,13 @@ class TrainingState:
     params: ppo_networks.PPONetworkParams
     normalizer_params: running_statistics.RunningStatisticsState
     env_steps: StepCount
+    # asymmetric actor-critic only: running stats over the critic's
+    # [obs, privileged] input (None when the critic sees policy obs —
+    # None is an empty pytree node, so the disabled-path checkpoint
+    # structure is unchanged)
+    critic_normalizer_params: Optional[
+        running_statistics.RunningStatisticsState
+    ] = None
 
 
 def compute_gae(
@@ -150,6 +157,7 @@ def train(
     num_evals: int = 1,
     deterministic_eval: bool = False,
     network_factory: Callable = ppo_networks.make_ppo_networks,
+    privileged_critic: bool = False,
     randomization_fn: Optional[Callable] = None,
     progress_fn: Callable[[int, Metrics], None] = lambda *args: None,
     policy_params_fn: Callable[..., None] = lambda *args: None,
@@ -210,7 +218,18 @@ def train(
     action_size = environment.action_size
 
     # --- networks + optimizer -------------------------------------------
-    ppo_network = network_factory(obs_size, action_size)
+    if privileged_critic:
+        assert getattr(environment, "_privileged_obs", False), (
+            "privileged_critic=True requires the env to publish "
+            "info['privileged_obs'] (PupperV3Env(privileged_obs=True))"
+        )
+        priv_size = environment.privileged_obs_size
+        ppo_network = network_factory(
+            obs_size, action_size, privileged_size=priv_size
+        )
+    else:
+        priv_size = 0
+        ppo_network = network_factory(obs_size, action_size)
     make_policy = ppo_networks.make_inference_fn(ppo_network)
     dist = ppo_network.action_distribution
 
@@ -257,26 +276,42 @@ def train(
     # --- loss ------------------------------------------------------------
     def compute_ppo_loss(
         params: ppo_networks.PPONetworkParams,
-        normalizer_params,
+        norms,  # (policy normalizer, critic normalizer or None)
         data: Transition,
         rng: jax.Array,
         entropy_cost_now,
     ) -> Tuple[jnp.ndarray, Metrics]:
+        normalizer_params, critic_norm = norms
         # data is time-major (T, mb, ...)
         policy_logits = ppo_network.policy_network.apply(
             normalizer_params if normalize_observations else None,
             params.policy,
             data.observation,
         )
+        if privileged_critic:
+            # asymmetric actor-critic: the value net additionally sees the
+            # ground-truth privileged signals recorded during the rollout
+            critic_obs = jnp.concatenate(
+                [data.observation, data.extras["privileged_obs"]], axis=-1
+            )
+            critic_boot = jnp.concatenate(
+                [data.next_observation[-1], data.extras["next_privileged_obs"][-1]],
+                axis=-1,
+            )
+            cn = critic_norm
+        else:
+            critic_obs = data.observation
+            critic_boot = data.next_observation[-1]
+            cn = normalizer_params
         baseline = ppo_network.value_network.apply(
-            normalizer_params if normalize_observations else None,
+            cn if normalize_observations else None,
             params.value,
-            data.observation,
+            critic_obs,
         )
         bootstrap_value = ppo_network.value_network.apply(
-            normalizer_params if normalize_observations else None,
+            cn if normalize_observations else None,
             params.value,
-            data.next_observation[-1],
+            critic_boot,
         )
 
         rewards = data.reward * reward_scaling
@@ -392,10 +427,19 @@ def train(
         data = jax.tree_util.tree_map(reorder, data)
 
         normalizer_params = training_state.normalizer_params
+        critic_normalizer = training_state.critic_normalizer_params
         if normalize_observations:
             normalizer_params = running_statistics.update(
                 normalizer_params, data.observation
             )
+            if privileged_critic:
+                critic_normalizer = running_statistics.update(
+                    critic_normalizer,
+                    jnp.concatenate(
+                        [data.observation, data.extras["privileged_obs"]],
+                        axis=-1,
+                    ),
+                )
 
         if entropy_schedule == "linear":
             steps_f = (
@@ -412,7 +456,7 @@ def train(
             (
                 training_state.optimizer_state,
                 training_state.params,
-                normalizer_params,
+                (normalizer_params, critic_normalizer),
                 key_sgd,
                 ec_now,
             ),
@@ -426,6 +470,7 @@ def train(
             params=params,
             normalizer_params=normalizer_params,
             env_steps=training_state.env_steps.add(env_step_per_training_step),
+            critic_normalizer_params=critic_normalizer,
         )
         return (new_training_state, env_state, key_), metrics
 
@@ -457,6 +502,11 @@ def train(
         params=init_params,
         normalizer_params=running_statistics.init_state(obs_size),
         env_steps=StepCount.zero(),
+        critic_normalizer_params=(
+            running_statistics.init_state(obs_size + priv_size)
+            if privileged_critic
+            else None
+        ),
     )
     if resume and checkpoint_dir is not None:
         import os as _os

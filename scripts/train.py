@@ -132,6 +132,7 @@ def main():
         environment_timestep=e.environment_timestep,
         physics_timestep=e.physics_timestep,
         use_imu=e.use_imu,
+        privileged_obs=e.privileged_obs,
         start_position_config=domain_randomization.StartPositionRandomization(
             x_min=e.start_position.x_min, x_max=e.start_position.x_max,
             y_min=e.start_position.y_min, y_max=e.start_position.y_max,
@@ -201,6 +202,7 @@ def main():
         seed=t.seed,
         num_evals=t.num_evals,
         network_factory=network_factory,
+        privileged_critic=t.privileged_critic,
         randomization_fn=randomization_fn,
         progress_fn=progress,
         policy_params_fn=policy_params_fn,
