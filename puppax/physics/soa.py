@@ -39,9 +39,11 @@ Design notes:
     sweep; row quantities are stacked into (nefc, 8, 128) arrays and the
     loops are fori_loops, keeping the emitted program small.
 
-Supported model class: free+hinge tree, plane-sphere (static plane) and
-sphere-sphere contacts — i.e. the flat-terrain training configuration.
-``soa_supported(m)`` gates; unsupported models (boxes/heightfield) fall
+Supported model class: free+hinge tree with plane-sphere (static plane),
+sphere-sphere, world-static sphere-box (obstacle terrain) and world-static
+heightfield-sphere (rough terrain, grids up to MAX_HFIELD_CELLS) contacts
+— i.e. all three training configurations. ``soa_supported(m)`` gates;
+unsupported models (capsules, dynamic boxes, giant hfield grids) fall
 back to the vmapped XLA path.
 """
 
@@ -63,6 +65,12 @@ TILE_B = SUB * LANE
 
 _MINVAL = 1e-15
 _BIG = 1e12
+_PAD_DIST = 1e10  # collision._PAD_DIST: outside-extent hfield contacts
+
+# largest unrolled heightfield grid (the masked bilinear lookup emits
+# ~2*nrow*ncol vector FMAs per foot per substep; 32x32 is the terrain
+# default and costs ~2k ops per foot-substep)
+MAX_HFIELD_CELLS = 4096
 
 # perf-bisection hook (dev only): truncate the emitted program after a
 # named phase, padding outputs with already-computed values
@@ -261,12 +269,28 @@ class _Pair(NamedTuple):
     box_R: tuple = ()
     box_pos: tuple = (0.0, 0.0, 0.0)
     box_half: tuple = (0.0, 0.0, 0.0)
+    # hs only: world-static heightfield pose + elevation grid constants
+    hf_R: tuple = ()  # rows of the world rotation matrix
+    hf_pos: tuple = (0.0, 0.0, 0.0)
+    hf_size: tuple = (0.0, 0.0, 0.0)  # rx, ry, elevation_z
+    hf_grid: tuple = ()  # (nrow, ncol) normalized elevations, row tuples
 
 
 def soa_supported(m: RobotModel) -> bool:
     """True when the model is in the SoA kernel's supported class."""
+    # heightfield supported for a WORLD-STATIC hfield geom: its pose and
+    # elevation grid are trace-time constants, so the bilinear-patch
+    # narrowphase (collision._hfield_sphere) becomes a masked constant
+    # lookup. The fold is O(nrow*ncol) unrolled vector FMAs per foot per
+    # substep — cap the grid so the emitted program stays compilable.
     if m.pairs_hfield_sphere:
-        return False
+        if m.hfield_data is None or m.hfield_nrow < 2 or m.hfield_ncol < 2:
+            return False
+        if m.hfield_nrow * m.hfield_ncol > MAX_HFIELD_CELLS:
+            return False
+        for g1, _ in m.pairs_hfield_sphere:
+            if m.geom_bodyid[g1] != 0:
+                return False
     # sphere-box supported only for WORLD-STATIC boxes (obstacle terrain:
     # box pose is a trace-time constant, so the narrowphase reduces to
     # clamped point-in-OBB algebra like the plane case)
@@ -516,6 +540,54 @@ class _Static:
                     box_R=tuple(tuple(float(c) for c in row) for row in R),
                     box_pos=tuple(float(c) for c in geom_pos[g2]),
                     box_half=tuple(float(c) for c in geom_size[g2]),
+                )
+            )
+        # heightfield-sphere candidates (world-static hfield: rough terrain).
+        # Reporting order matches collision.collide (hfield after box).
+        if m.pairs_hfield_sphere:
+            if mj_model is not None:
+                hf_data = np.asarray(mj_model.hfield_data, np.float64).reshape(
+                    m.hfield_nrow, m.hfield_ncol
+                )
+                hf_size = np.asarray(
+                    mj_model.hfield_size, np.float64
+                ).reshape(-1)
+            else:
+                hf_data = _np(m.hfield_data)
+                hf_size = _np(m.hfield_size).reshape(-1)
+            hf_grid = tuple(tuple(float(x) for x in row) for row in hf_data)
+        for g1, g2 in m.pairs_hfield_sphere:
+            sb = m.geom_bodyid[g2]
+            w, x, y, z = geom_quat[g1]
+            R = np.array(
+                [
+                    [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                    [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                    [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+                ]
+            )
+            self.pairs.append(
+                _Pair(
+                    kind="hs",
+                    sphere_geom=g2,
+                    sphere_body=sb,
+                    radius=float(geom_size[g2][0]),
+                    sphere_off=tuple(geom_pos[g2]),
+                    plane_point=(0.0, 0.0, 0.0),
+                    plane_n=(0.0, 0.0, 1.0),
+                    frame_t1=(0.0, 1.0, 0.0),
+                    frame_t2=(-1.0, 0.0, 0.0),
+                    solref=tuple(0.5 * (geom_solref[g1] + geom_solref[g2])),
+                    solimp=tuple(0.5 * (geom_solimp[g1] + geom_solimp[g2])),
+                    invweight=float(body_iw[m.geom_bodyid[g1]] + body_iw[sb]),
+                    geom1=int(g1),
+                    geom2=int(g2),
+                    body1=int(m.geom_bodyid[g1]),
+                    body2=int(sb),
+                    hf_R=tuple(tuple(float(c) for c in row) for row in R),
+                    hf_pos=tuple(float(c) for c in geom_pos[g1]),
+                    hf_size=tuple(float(c) for c in hf_size[:3]),
+                    hf_grid=hf_grid,
                 )
             )
         self.npair = len(self.pairs)
@@ -986,6 +1058,101 @@ def _emit_forward(s: _Static, q, v, ctrl, dr):
             # the SPHERE is geom1 here (normal points sphere -> box), the
             # opposite of the plane-sphere orientation
             dof_coeff = {d: -1.0 for d in s.chains[b]}
+        elif pr.kind == "hs":
+            # sphere vs WORLD-STATIC heightfield (collision._hfield_sphere
+            # semantics): pose + elevation grid are trace-time constants, so
+            # the bilinear-patch lookup is a masked constant fold — per-row
+            # column contractions with Python-float coefficients (zero
+            # elevations, e.g. the flattened spawn disc, vanish entirely).
+            R = pr.hf_R
+            rx, ry, ez = pr.hf_size
+            grid = pr.hf_grid
+            nrow, ncol = len(grid), len(grid[0])
+            ref0 = materialize(center[0], center[0])
+            d0 = vsub3(center, pr.hf_pos)
+            # p = R^T (c - hp): sphere center in the heightfield frame
+            p = [
+                materialize(
+                    add(add(mul(R[0][j], d0[0]), mul(R[1][j], d0[1])),
+                        mul(R[2][j], d0[2])),
+                    ref0,
+                )
+                for j in range(3)
+            ]
+            # fractional grid coordinates of the footprint (uc/vc named to
+            # avoid shadowing the qvel list ``v``)
+            uc = (p[0] + rx) / (2.0 * rx) * (ncol - 1)
+            vc = (p[1] + ry) / (2.0 * ry) * (nrow - 1)
+            outside = (jnp.abs(p[0]) > rx) | (jnp.abs(p[1]) > ry)
+            iu = jnp.clip(jnp.floor(uc), 0.0, float(ncol - 2))
+            iv = jnp.clip(jnp.floor(vc), 0.0, float(nrow - 2))
+            fu = jnp.clip(uc - iu, 0.0, 1.0)
+            fv = jnp.clip(vc - iv, 0.0, 1.0)
+            cmask = [
+                jnp.where(iu == float(c), 1.0, 0.0) for c in range(ncol - 1)
+            ]
+            rmask = [
+                jnp.where(iv == float(r), 1.0, 0.0) for r in range(nrow - 1)
+            ]
+            # per-row column picks: s0[r] = H[r, iu], s1[r] = H[r, iu+1]
+            s0, s1 = [], []
+            for r in range(nrow):
+                a0, a1 = 0.0, 0.0
+                for c in range(ncol - 1):
+                    a0 = fma(a0, cmask[c], grid[r][c])
+                    a1 = fma(a1, cmask[c], grid[r][c + 1])
+                s0.append(a0)
+                s1.append(a1)
+            # corner picks: row shifts are free Python-list shifts
+            c00, c01, c10, c11 = 0.0, 0.0, 0.0, 0.0
+            for r in range(nrow - 1):
+                c00 = fma(c00, rmask[r], s0[r])
+                c01 = fma(c01, rmask[r], s1[r])
+                c10 = fma(c10, rmask[r], s0[r + 1])
+                c11 = fma(c11, rmask[r], s1[r + 1])
+            c00 = materialize(c00, ref0)
+            c01 = materialize(c01, ref0)
+            c10 = materialize(c10, ref0)
+            c11 = materialize(c11, ref0)
+            gu, gv = 1.0 - fu, 1.0 - fv
+            # h = ez * w_r^T H w_c ; slopes from d_c / d_r one-hot deltas
+            h = ez * (gu * (gv * c00 + fv * c10) + fu * (gv * c01 + fv * c11))
+            dhdx = (
+                ez * (gv * (c01 - c00) + fv * (c11 - c10))
+                * ((ncol - 1) / (2.0 * rx))
+            )
+            dhdy = (
+                ez * (gu * (c10 - c00) + fu * (c11 - c01))
+                * ((nrow - 1) / (2.0 * ry))
+            )
+            inv_nn = 1.0 / jnp.sqrt(dhdx * dhdx + dhdy * dhdy + 1.0)
+            n_loc = [-dhdx * inv_nn, -dhdy * inv_nn, inv_nn]
+            dist = (p[2] - h) * n_loc[2] - pr.radius
+            dist = jnp.where(outside, jnp.asarray(_PAD_DIST, dist.dtype), dist)
+            # back to world: n = R n_loc (identity R folds away)
+            n = [
+                materialize(
+                    add(add(mul(R[i][0], n_loc[0]), mul(R[i][1], n_loc[1])),
+                        mul(R[i][2], n_loc[2])),
+                    ref0,
+                )
+                for i in range(3)
+            ]
+            safe = jnp.where(outside, jnp.zeros_like(dist), dist)
+            cpos = [
+                sub(center[i], mul(n[i], pr.radius + 0.5 * safe))
+                for i in range(3)
+            ]
+            cpos = [materialize(cp, ref0) for cp in cpos]
+            # dynamic contact frame (mju_makeFrame, as collision._make_frames)
+            use_y = jnp.abs(n[1]) < 0.5
+            ax = [0.0, jnp.where(use_y, 1.0, 0.0), jnp.where(use_y, 0.0, 1.0)]
+            t2 = vcross3(n, ax)
+            t2n = jnp.maximum(jnp.sqrt(materialize(vdot3(t2, t2), ref0)), 1e-12)
+            t2 = [materialize(t2[i], ref0) / t2n for i in range(3)]
+            t1 = vcross3(t2, n)
+            # normal points hfield -> sphere (like plane-sphere): J = +jac
+            dof_coeff = {d: 1.0 for d in s.chains[b]}
         else:  # sphere-sphere (collision._sphere_sphere semantics)
             b1 = pr.body1
             off1 = [float(x) for x in pr.sphere_off1]

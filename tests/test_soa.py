@@ -70,8 +70,12 @@ def test_sparse_ldl_matches_dense():
 
 def test_soa_supported_gating(model):
     assert soa.soa_supported(model)
+    # hfield pairs without grid data (malformed) are rejected
     hf = model.replace(pairs_hfield_sphere=((0, 1),))
     assert not soa.soa_supported(hf)
+    # solver iterations > 1 are the XLA path's job
+    it = model.replace(solver_iterations=2)
+    assert not soa.soa_supported(it)
 
 
 @pytest.fixture(scope="module")
@@ -183,6 +187,138 @@ def test_soa_emitter_matches_xla_pipeline_boxes(box_model):
         )
     assert bs_dyn_checked >= 1, (
         "no in-cap test state touched a box — dynamics not exercised"
+    )
+
+
+@pytest.fixture(scope="module")
+def hfield_model():
+    """Rough-terrain variant: world-static heightfield (hfield-sphere
+    pairs). 16x16 keeps the host-side 0-d emission quick."""
+    import xml.etree.ElementTree as ET
+
+    from puppax.model import assets
+    from puppax.model.terrain import add_heightfield_to_model
+
+    tree = add_heightfield_to_model(
+        assets.pupper_xml_tree(), nrow=16, ncol=16, seed=2
+    )
+    xml = ET.tostring(tree.getroot(), encoding="unicode")
+    cm = load_model(None, xml_string=xml)
+    m = cm.robot.tree_replace({"opt.timestep": 0.004})
+    return m.replace(
+        actuator_gainprm=m.actuator_gainprm.at[:, 0].set(5.0),
+        actuator_biasprm=m.actuator_biasprm.at[:, 1].set(-5.0).at[:, 2].set(-0.25),
+    )
+
+
+def test_soa_supports_static_hfield(hfield_model):
+    m = hfield_model
+    # every collision sphere (feet + knees) pairs with the terrain
+    assert len(m.pairs_hfield_sphere) >= 4
+    assert soa.soa_supported(m)
+    # unrolled-program size cap
+    assert not soa.soa_supported(m.replace(hfield_nrow=5000))
+    # non-world-static hfield geoms are the XLA path's job
+    foot_geom = m.pairs_hfield_sphere[0][1]
+    bad = m.replace(pairs_hfield_sphere=((foot_geom, foot_geom),))
+    assert not soa.soa_supported(bad)
+
+
+@pytest.mark.slow
+def test_soa_emitter_matches_xla_pipeline_hfield(hfield_model):
+    """Heightfield narrowphase + constraint rows in the SoA program vs the
+    oracle-verified XLA path, with feet pinned onto terrain bumps."""
+    m = hfield_model
+    B = 12
+    qpos, qvel, ctrl = _random_states(m, B, seed=11)
+    s = soa._Static(m)
+    hs = next(p for p in s.pairs if p.kind == "hs")
+    H = np.array(hs.hf_grid)
+    rx, ry, ez = hs.hf_size
+    nrow, ncol = H.shape
+
+    from puppax.physics import smooth
+
+    qp0 = np.asarray(m.key_qpos, np.float32).copy()
+    qp0[0:3] = 0.0
+    kin0 = smooth.kinematics(m, jnp.asarray(qp0))
+    foot_geoms = [p.sphere_geom for p in s.pairs if p.kind == "hs"]
+    radii = {p.sphere_geom: p.radius for p in s.pairs if p.kind == "hs"}
+    # bumpy target cells away from the flattened spawn disc (interior
+    # nodes, offset +0.3 cell to sit strictly inside a bilinear patch)
+    nodes = [
+        (r, c)
+        for r in range(2, nrow - 2)
+        for c in range(2, ncol - 2)
+        if H[r, c] > 0.5 and abs(-rx + 2 * rx * c / (ncol - 1)) > 0.6
+    ]
+    assert len(nodes) >= 4, "terrain seed produced no usable bumps"
+    for e in range(4):
+        r_t, c_t = nodes[(e * len(nodes)) // 4]
+        g = foot_geoms[e % len(foot_geoms)]
+        rel = np.asarray(kin0.geom_xpos[g])
+        tx = -rx + 2 * rx * (c_t + 0.3) / (ncol - 1)
+        ty = -ry + 2 * ry * (r_t + 0.3) / (nrow - 1)
+        # bilinear surface height at (fu, fv) = (0.3, 0.3) of cell (r_t, c_t)
+        surf = ez * (
+            0.49 * H[r_t, c_t] + 0.21 * H[r_t, c_t + 1]
+            + 0.21 * H[r_t + 1, c_t] + 0.09 * H[r_t + 1, c_t + 1]
+        )
+        target = np.array([tx, ty, surf + radii[g] - 0.004])
+        base = target - rel
+        qpos = qpos.at[e, 0:3].set(jnp.asarray(base, jnp.float32))
+        qpos = qpos.at[e, 3:7].set(jnp.asarray([1.0, 0, 0, 0]))
+        qpos = qpos.at[e, 7:].set(jnp.asarray(qp0[7:]))
+        qvel = qvel.at[e].set(0.1 * qvel[e])
+    kinds = np.array(
+        [{"ps": 0, "ss": 1, "bs": 2, "hs": 3}[p.kind] for p in s.pairs]
+    )
+
+    def xla_step(qp, qv, ct):
+        st = pipeline._zeros_state(m, qp, qv)
+        out = pipeline.pipeline_step(m, st, ct, n_substeps=1)
+        return out.qpos, out.qvel, out.contact.dist
+
+    ref = jax.jit(jax.vmap(xla_step))(qpos, qvel, ctrl)
+    dr = soa.dr_inputs(m, s, B)
+
+    hs_dyn_checked = 0
+    for e in range(B):
+        ql = [qpos[e, i] for i in range(m.nq)]
+        vl = [qvel[e, i] for i in range(m.nv)]
+        cl = [ctrl[e, i] for i in range(m.nu)]
+        drl = {
+            k: [jnp.asarray(x, jnp.float32) for x in np.asarray(arr[e]).reshape(-1)]
+            for k, arr in dr.items()
+        }
+        fw = soa._emit_forward(s, ql, vl, cl, drl)
+        q2, v2 = soa._emit_integrate(s, ql, vl, fw["qacc"])
+        q2 = np.array([float(soa.materialize(t, qpos[e, 0])) for t in q2])
+        v2 = np.array([float(soa.materialize(t, qpos[e, 0])) for t in v2])
+        dist = np.array(
+            [float(soa.materialize(t, qpos[e, 0])) for t in fw["con_dist"]]
+        )
+        np.testing.assert_allclose(
+            dist, np.asarray(ref[2][e]), atol=5e-5, err_msg=f"env {e} con_dist"
+        )
+        pen = dist < 0
+        per_type_ok = all(
+            int(np.sum(pen[kinds == t])) <= m.max_geom_pairs for t in range(4)
+        )
+        if not (per_type_ok and int(np.sum(pen)) <= m.max_contact_points):
+            continue  # caps bind: the two solver semantics legitimately differ
+        if np.any(pen[kinds == 3]):
+            hs_dyn_checked += 1
+        np.testing.assert_allclose(
+            q2, np.asarray(ref[0][e]), atol=5e-5, err_msg=f"env {e} qpos"
+        )
+        scale_v = max(1.0, float(np.max(np.abs(ref[1][e]))))
+        np.testing.assert_allclose(
+            v2 / scale_v, np.asarray(ref[1][e]) / scale_v, atol=5e-4,
+            err_msg=f"env {e} qvel (relative)",
+        )
+    assert hs_dyn_checked >= 1, (
+        "no in-cap test state touched the terrain — dynamics not exercised"
     )
 
 

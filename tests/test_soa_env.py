@@ -80,6 +80,10 @@ def test_env_emitter_matches_xla_core(env):
     """The fused env-step program (host-side on 0-d values) vs the XLA
     _step_core on random states: obs, reward, done, carried fields and
     every reward term must agree to fp tolerance."""
+    _assert_env_emitter_matches(env, n_trials=6, seed=0)
+
+
+def _assert_env_emitter_matches(env, n_trials, seed):
     assert env._use_soa_env
     s, es = env._cv_core._s, env._cv_core._es
     m = env.model
@@ -91,8 +95,8 @@ def test_env_emitter_matches_xla_core(env):
     jit_core = jax.jit(xla_core)
     dr = soa.dr_inputs(m, s, 1)
 
-    rng = np.random.RandomState(0)
-    for trial in range(6):
+    rng = np.random.RandomState(seed)
+    for trial in range(n_trials):
         qpos, qvel, action, env_in, noise = _random_env_inputs(env, rng)
         ps, ref = jit_core(
             jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(action),
@@ -187,6 +191,35 @@ def test_env_emitter_matches_xla_core(env):
             val(out["total_dist"][0]), float(ref["total_dist"]), atol=1e-4,
             err_msg=f"trial {trial} total_dist",
         )
+
+
+@pytest.mark.slow
+def test_env_kernel_supports_heightfield():
+    """A rough-terrain env (hfield XML surgery, as scripts/train.py builds
+    it) takes the fused env kernel, and the emitted program still matches
+    the XLA step core — the hs narrowphase is spliced into the full env
+    step, not just the physics-only kernel."""
+    import xml.etree.ElementTree as ET
+
+    from puppax.model import assets
+    from puppax.model.terrain import add_heightfield_to_model
+
+    tree = add_heightfield_to_model(
+        assets.pupper_xml_tree(), nrow=16, ncol=16, seed=2
+    )
+    env = PupperV3Env(
+        path=None,
+        xml_string=ET.tostring(tree.getroot(), encoding="unicode"),
+        reward_config=get_config(),
+        action_scale=0.75,
+        observation_history=2,
+        maximum_pitch_command=10.0,
+        maximum_roll_command=10.0,
+        environment_timestep=0.004,
+        physics_timestep=0.004,
+    )
+    assert any(p.kind == "hs" for p in env._cv_core._s.pairs)
+    _assert_env_emitter_matches(env, n_trials=2, seed=3)
 
 
 @pytest.mark.slow
