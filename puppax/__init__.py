@@ -15,3 +15,20 @@ Layer map (mirrors reference SURVEY §1, all five layers owned here):
 """
 
 __version__ = "0.1.0"
+
+# MuJoCo binds its GL backend at the FIRST `import mujoco` (mujoco reads
+# MUJOCO_GL in gl_context.py at import time; swapping afterwards leaves
+# PyOpenGL on the wrong platform). On a headless host the glfw default
+# probes X11 and rendering dies with "gladLoadGL error", so pick EGL up
+# front when (a) nothing was requested, (b) there is no display, and
+# (c) libEGL actually exists (a bad value would break ALL mujoco use,
+# physics included). Rendering itself stays eval-only (tools/video.py).
+import ctypes.util as _ctypes_util
+import os as _os
+
+if (
+    not _os.environ.get("MUJOCO_GL")
+    and not _os.environ.get("DISPLAY")
+    and _ctypes_util.find_library("EGL")
+):
+    _os.environ["MUJOCO_GL"] = "egl"
