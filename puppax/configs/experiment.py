@@ -61,6 +61,9 @@ class EnvConfig:
     use_imu: bool = True
     # publish info["privileged_obs"] (ground-truth critic-only signals)
     privileged_obs: bool = False
+    # append a free-running (cos, sin) gait clock to the policy obs
+    gait_phase_observation: bool = False
+    gait_frequency: float = 2.5  # Hz
     start_position: StartPositionConfig = field(default_factory=StartPositionConfig)
     # obstacle terrain (obstacles.py): 0 disables
     n_obstacles: int = 0

@@ -116,6 +116,8 @@ class PupperV3Env(Env):
         desired_world_z_in_body_frame: jax.Array = None,
         use_imu: bool = True,
         privileged_obs: bool = False,
+        gait_phase_observation: bool = False,
+        gait_frequency: float = 2.5,  # Hz
         xml_string: Optional[str] = None,
         dtype=jnp.float32,
     ):
@@ -224,6 +226,8 @@ class PupperV3Env(Env):
         self._imu_latency_distribution = jnp.asarray(imu_latency_distribution, dtype)
         self._use_imu = use_imu
         self._privileged_obs = privileged_obs
+        self._gait_phase_obs = gait_phase_observation
+        self._gait_frequency = gait_frequency
         self._dtype = dtype
 
         # SoA fused-kernel physics (flat model class): spliced via
@@ -261,7 +265,13 @@ class PupperV3Env(Env):
 
     @property
     def observation_size(self) -> int:
-        return self.observation_dim * self._observation_history
+        """Policy input width: the stacked noisy-obs history, plus the
+        2-dim gait clock (cos, sin) when enabled. The clock rides OUTSIDE
+        the history stack (it is deterministic — stacking adds nothing)
+        and outside the step core, so the fused env kernel and the
+        reference obs contract are untouched when it is off."""
+        n = self.observation_dim * self._observation_history
+        return n + 2 if self._gait_phase_obs else n
 
     @property
     def action_size(self) -> int:
@@ -400,6 +410,11 @@ class PupperV3Env(Env):
                 m, pipeline_state, state_info, state_info["kick"]
             )
         obs = self._get_obs(pipeline_state, state_info, obs_history)
+        if self._gait_phase_obs:
+            state_info["gait_phase"] = jnp.zeros((), self._dtype)
+            obs = jnp.concatenate(
+                [obs, jnp.array([1.0, 0.0], self._dtype)]  # cos 0, sin 0
+            )
         reward, done = jnp.zeros(2, self._dtype)
         metrics = {"total_dist": jnp.zeros((), self._dtype)}
         for k in state_info["rewards"]:
@@ -669,7 +684,11 @@ class PupperV3Env(Env):
             "feet_air_time": info["feet_air_time"],
             "last_contact": info["last_contact"],
             "step": info["step"],
-            "obs_history": state.obs,
+            # the step core consumes the pure history stack; the gait
+            # clock (when enabled) rides after it and is re-derived below
+            "obs_history": state.obs[
+                : self.observation_dim * self._observation_history
+            ],
         }
         if self._use_soa_env:
             # custom_vmap splice: single-env traces fall back to
@@ -703,13 +722,26 @@ class PupperV3Env(Env):
                 m, pipeline_state, info, noise["kick"]
             )
 
+        obs = env_out["obs"]
+        if self._gait_phase_obs:
+            # free-running clock (persists across brax-semantics
+            # auto-resets, like the command): deterministic, so it lives
+            # entirely outside the fused step core
+            phase = jnp.mod(
+                info["gait_phase"]
+                + self._dtype(2.0 * np.pi * self._gait_frequency * self._dt),
+                self._dtype(2.0 * np.pi),
+            )
+            info["gait_phase"] = phase
+            obs = jnp.concatenate([obs, jnp.cos(phase)[None], jnp.sin(phase)[None]])
+
         metrics = dict(state.metrics)
         metrics["total_dist"] = env_out["total_dist"]
         metrics.update(env_out["rewards"])
 
         return state.replace(
             pipeline_state=pipeline_state,
-            obs=env_out["obs"],
+            obs=obs,
             reward=env_out["reward"],
             done=env_out["done"],
             metrics=metrics,

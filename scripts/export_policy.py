@@ -35,7 +35,19 @@ def main():
     parser.add_argument("--maximum-pitch-command", type=float, default=0.0)
     parser.add_argument("--maximum-roll-command", type=float, default=0.0)
     parser.add_argument("--no-imu", action="store_true")
+    parser.add_argument(
+        "--platform",
+        default="cpu",
+        help="jax platform (default cpu: export is host-side math, and the "
+        "image's accelerator pin would otherwise block on a busy/absent "
+        "TPU tunnel just to deserialize a checkpoint)",
+    )
     args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     import numpy as np
 

@@ -133,6 +133,8 @@ def main():
         physics_timestep=e.physics_timestep,
         use_imu=e.use_imu,
         privileged_obs=e.privileged_obs,
+        gait_phase_observation=e.gait_phase_observation,
+        gait_frequency=e.gait_frequency,
         start_position_config=domain_randomization.StartPositionRandomization(
             x_min=e.start_position.x_min, x_max=e.start_position.x_max,
             y_min=e.start_position.y_min, y_max=e.start_position.y_max,
