@@ -64,6 +64,9 @@ class EnvConfig:
     # append a free-running (cos, sin) gait clock to the policy obs
     gait_phase_observation: bool = False
     gait_frequency: float = 2.5  # Hz
+    # carry info["difficulty"] scaling kick/noise amplitudes (the learner
+    # ramps it when train.curriculum_steps > 0)
+    disturbance_curriculum: bool = False
     start_position: StartPositionConfig = field(default_factory=StartPositionConfig)
     # obstacle terrain (obstacles.py): 0 disables
     n_obstacles: int = 0
@@ -122,6 +125,9 @@ class TrainConfig:
     # asymmetric actor-critic: value net sees obs + env privileged_obs
     # (requires env.privileged_obs=true; policy/export ABI unchanged)
     privileged_critic: bool = False
+    # ramp disturbances (kick/noise) 0 -> 1 over this many env steps
+    # (requires env.disturbance_curriculum=true; 0 = off)
+    curriculum_steps: int = 0
     seed: int = 0
     num_evals: int = 10
     activation: str = "elu"  # must be in utils.activation_fn_map (export ABI)

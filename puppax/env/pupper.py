@@ -118,6 +118,7 @@ class PupperV3Env(Env):
         privileged_obs: bool = False,
         gait_phase_observation: bool = False,
         gait_frequency: float = 2.5,  # Hz
+        disturbance_curriculum: bool = False,
         xml_string: Optional[str] = None,
         dtype=jnp.float32,
     ):
@@ -228,6 +229,7 @@ class PupperV3Env(Env):
         self._privileged_obs = privileged_obs
         self._gait_phase_obs = gait_phase_observation
         self._gait_frequency = gait_frequency
+        self._disturbance_curriculum = disturbance_curriculum
         self._dtype = dtype
 
         # SoA fused-kernel physics (flat model class): spliced via
@@ -409,6 +411,12 @@ class PupperV3Env(Env):
             state_info["privileged_obs"] = self._privileged_observation(
                 m, pipeline_state, state_info, state_info["kick"]
             )
+        if self._disturbance_curriculum:
+            # disturbance scale in [0, 1]: multiplies kick + obs noise
+            # amplitudes. 1.0 by default (full disturbance, eval-faithful);
+            # the learner ramps it with training progress
+            # (ppo.train curriculum_steps).
+            state_info["difficulty"] = jnp.ones((), self._dtype)
         obs = self._get_obs(pipeline_state, state_info, obs_history)
         if self._gait_phase_obs:
             state_info["gait_phase"] = jnp.zeros((), self._dtype)
@@ -673,6 +681,18 @@ class PupperV3Env(Env):
 
         noise = self._draw_step_noise(info["rng"])
         info["rng"] = noise["rng"]
+        if self._disturbance_curriculum:
+            # scale disturbance amplitudes OUTSIDE the step core: the RNG
+            # streams, the fused env kernel, and the latency/resample
+            # draws are untouched; difficulty=1.0 is bit-identical to the
+            # un-curriculum env (x * 1.0 is exact in fp)
+            d = info["difficulty"]
+            noise = dict(noise)
+            for k in (
+                "kick", "ang_vel_noise", "gravity_noise",
+                "motor_ang_noise", "last_action_noise",
+            ):
+                noise[k] = noise[k] * d
         core_noise = {k: noise[k] for k in self._CORE_NOISE_KEYS}
         env_in = {
             "action_buffer": info["action_buffer"],

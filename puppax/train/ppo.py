@@ -158,6 +158,7 @@ def train(
     deterministic_eval: bool = False,
     network_factory: Callable = ppo_networks.make_ppo_networks,
     privileged_critic: bool = False,
+    curriculum_steps: int = 0,
     randomization_fn: Optional[Callable] = None,
     progress_fn: Callable[[int, Metrics], None] = lambda *args: None,
     policy_params_fn: Callable[..., None] = lambda *args: None,
@@ -554,9 +555,25 @@ def train(
         progress_fn(0, metrics)
         all_metrics = metrics
 
+    if curriculum_steps > 0 and "difficulty" not in env_state.info:
+        raise ValueError(
+            "curriculum_steps > 0 requires an environment with "
+            "disturbance_curriculum=True (info['difficulty'] missing)"
+        )
+
     for _ in range(num_evals_after_init):
-        if jax.device_get(training_state.env_steps).to_int() >= num_timesteps:
+        step_now = jax.device_get(training_state.env_steps).to_int()
+        if step_now >= num_timesteps:
             break  # resumed past the target
+        if curriculum_steps > 0:
+            # disturbance curriculum: ramp kick/noise amplitudes 0 -> 1
+            # over the first curriculum_steps env steps (host-driven, one
+            # epoch granularity; sharding-preserving elementwise update)
+            d = min(1.0, step_now / curriculum_steps)
+            env_state = env_state.replace(info={
+                **env_state.info,
+                "difficulty": env_state.info["difficulty"] * 0.0 + d,
+            })
         key, epoch_key = jax.random.split(key)
         t = time.perf_counter()
         training_state, env_state, train_metrics = epoch_fn(

@@ -135,6 +135,7 @@ def main():
         privileged_obs=e.privileged_obs,
         gait_phase_observation=e.gait_phase_observation,
         gait_frequency=e.gait_frequency,
+        disturbance_curriculum=e.disturbance_curriculum,
         start_position_config=domain_randomization.StartPositionRandomization(
             x_min=e.start_position.x_min, x_max=e.start_position.x_max,
             y_min=e.start_position.y_min, y_max=e.start_position.y_max,
@@ -205,6 +206,7 @@ def main():
         num_evals=t.num_evals,
         network_factory=network_factory,
         privileged_critic=t.privileged_critic,
+        curriculum_steps=t.curriculum_steps,
         randomization_fn=randomization_fn,
         progress_fn=progress,
         policy_params_fn=policy_params_fn,

@@ -48,6 +48,11 @@ def test_train_and_export_cli_end_to_end(tmp_path):
     r = _run(
         [
             "scripts/train.py",
+            # in-process pin: the image's sitecustomize re-pins the axon
+            # TPU platform over JAX_PLATFORMS, so without this flag the
+            # "CPU" subprocess silently ran on the tunneled chip — and
+            # hung/died whenever the tunnel was down
+            "--platform", "cpu",
             "--set", "train.num_timesteps=64",
             "--set", "train.num_envs=8",
             "--set", "train.episode_length=8",
