@@ -11,6 +11,11 @@
 //   int  puppax_policy_out_dim(const puppax_policy*);
 //   int  puppax_policy_infer(const puppax_policy*, const float* obs,
 //                            float* out);  // returns 0 on success
+//   int  puppax_policy_gait_enabled(const puppax_policy*);
+//   double puppax_policy_gait_frequency(const puppax_policy*);
+//   void puppax_policy_reset_clock(puppax_policy*);
+//   int  puppax_policy_infer_clocked(puppax_policy*, const float* obs,
+//                                    float* out);  // appends gait clock
 //   void puppax_policy_free(puppax_policy*);
 //
 // The JSON subset parsed here is exactly what convert_params emits:
@@ -168,6 +173,14 @@ struct Policy {
   int in_dim = 0;
   int out_dim = 0;
   std::vector<Dense> layers;
+  // gait clock metadata (exported by convert_params for policies trained
+  // with env.gait_phase_observation): the controller appends
+  // [cos(phase), sin(phase)] after the obs history and advances the
+  // free-running phase by 2*pi*gait_frequency*control_dt each tick
+  bool gait_phase_observation = false;
+  double gait_frequency = 0.0;   // Hz
+  double control_dt = 0.02;      // s per control tick
+  double gait_phase = 0.0;       // runtime clock state
 };
 
 void ApplyActivation(Activation a, std::vector<float>* x) {
@@ -221,6 +234,12 @@ Policy* LoadPolicy(const char* path) {
 
   auto policy = std::make_unique<Policy>();
   policy->in_dim = static_cast<int>(in_shape->array[1].number);
+  if (const JsonValue* g = root.find("gait_phase_observation"))
+    policy->gait_phase_observation = g->kind == JsonValue::kBool && g->boolean;
+  if (const JsonValue* g = root.find("gait_frequency"))
+    policy->gait_frequency = g->number;
+  if (const JsonValue* g = root.find("control_dt"))
+    policy->control_dt = g->number;
   for (const auto& lv : layers->array) {
     const JsonValue* type = lv.find("type");
     const JsonValue* weights = lv.find("weights");
@@ -287,6 +306,40 @@ int puppax_policy_out_dim(const puppax_policy* p) {
 
 int puppax_policy_infer(const puppax_policy* p, const float* obs, float* out) {
   return Infer(*reinterpret_cast<const Policy*>(p), obs, out);
+}
+
+// Gait-clock entry points: for policies exported with
+// gait_phase_observation, the controller passes the RAW obs history
+// (in_dim - 2 floats); the runtime appends [cos(phase), sin(phase)],
+// infers, then advances the free-running clock — use-then-advance, so
+// tick 0 sees phase 0 exactly like the environment's reset observation.
+int puppax_policy_gait_enabled(const puppax_policy* p) {
+  return reinterpret_cast<const Policy*>(p)->gait_phase_observation ? 1 : 0;
+}
+
+double puppax_policy_gait_frequency(const puppax_policy* p) {
+  return reinterpret_cast<const Policy*>(p)->gait_frequency;
+}
+
+void puppax_policy_reset_clock(puppax_policy* p) {
+  reinterpret_cast<Policy*>(p)->gait_phase = 0.0;
+}
+
+int puppax_policy_infer_clocked(puppax_policy* p, const float* obs,
+                                float* out) {
+  Policy* policy = reinterpret_cast<Policy*>(p);
+  if (!policy->gait_phase_observation)
+    return Infer(*policy, obs, out);
+  std::vector<float> full(static_cast<size_t>(policy->in_dim));
+  std::memcpy(full.data(), obs, (policy->in_dim - 2) * sizeof(float));
+  full[policy->in_dim - 2] = static_cast<float>(std::cos(policy->gait_phase));
+  full[policy->in_dim - 1] = static_cast<float>(std::sin(policy->gait_phase));
+  const int rc = Infer(*policy, full.data(), out);
+  const double two_pi = 6.283185307179586476925286766559;
+  policy->gait_phase = std::fmod(
+      policy->gait_phase + two_pi * policy->gait_frequency * policy->control_dt,
+      two_pi);
+  return rc;
 }
 
 void puppax_policy_free(puppax_policy* p) {

@@ -48,9 +48,18 @@ def convert_params(
     maximum_pitch_command: float,
     maximum_roll_command: float,
     final_activation: str = "tanh",
+    gait_phase_observation: bool = False,
+    gait_frequency: float = 0.0,
+    control_dt: float = 0.02,
 ) -> Dict:
     """Convert PPO params to the on-robot JSON policy dict (the ABI of
-    reference export.py:13-81: same keys, same layer schema)."""
+    reference export.py:13-81: same keys, same layer schema).
+
+    Policies trained with the gait clock (env.gait_phase_observation)
+    additionally carry ``gait_phase_observation`` / ``gait_frequency`` /
+    ``control_dt`` so the on-robot controller knows to append the
+    free-running (cos, sin) clock after the obs history — the native
+    runtime (native/policy_runtime.cc) honors these keys."""
     normalizer, policy_params = params[0], params[1]
     mean = np.asarray(normalizer.mean)
     std = np.asarray(normalizer.std)
@@ -89,6 +98,9 @@ def convert_params(
         "joint_lower_limits": np.asarray(joint_lower_limits).tolist(),
         "maximum_pitch_command": maximum_pitch_command,
         "maximum_roll_command": maximum_roll_command,
+        "gait_phase_observation": bool(gait_phase_observation),
+        "gait_frequency": float(gait_frequency),
+        "control_dt": float(control_dt),
         "in_shape": [None, int(input_size)],
         "layers": layers,
     }

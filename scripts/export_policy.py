@@ -36,6 +36,14 @@ def main():
     parser.add_argument("--maximum-roll-command", type=float, default=0.0)
     parser.add_argument("--no-imu", action="store_true")
     parser.add_argument(
+        "--gait-phase-observation", action="store_true",
+        help="policy was trained with the (cos, sin) gait clock appended "
+        "to the obs; the exported JSON tells the on-robot runtime to "
+        "append and advance the clock",
+    )
+    parser.add_argument("--gait-frequency", type=float, default=2.5)
+    parser.add_argument("--control-dt", type=float, default=0.02)
+    parser.add_argument(
         "--platform",
         default="cpu",
         help="jax platform (default cpu: export is host-side math, and the "
@@ -91,6 +99,9 @@ def main():
         observation_history=args.observation_history,
         maximum_pitch_command=args.maximum_pitch_command,
         maximum_roll_command=args.maximum_roll_command,
+        gait_phase_observation=args.gait_phase_observation,
+        gait_frequency=args.gait_frequency,
+        control_dt=args.control_dt,
     )
     with open(args.out, "w") as f:
         json.dump(exported, f)

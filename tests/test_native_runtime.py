@@ -75,6 +75,55 @@ def test_native_matches_python_replay(exported_policy):
     policy.close()
 
 
+def test_native_gait_clock_matches_env_semantics(tmp_path):
+    """A gait-clock policy (74-dim input): the C++ runtime appends and
+    advances its own free-running clock; tick t must equal the python
+    replay with phase = t * 2*pi*f*dt (use-then-advance — tick 0 sees
+    phase 0, exactly the env's reset observation)."""
+    net = make_ppo_networks(
+        74, 12, policy_hidden_layer_sizes=(16,), activation=flax_nn.elu
+    )
+    params = net.policy_network.init(jax.random.PRNGKey(3))
+    norm = running_statistics.update(
+        running_statistics.init_state(74),
+        jax.random.normal(jax.random.PRNGKey(4), (64, 74)),
+    )
+    f_hz, dt = 2.5, 0.02
+    exported = convert_params(
+        (norm, params),
+        activation="elu", action_scale=0.75, kp=5.0, kd=0.25,
+        default_pose=np.zeros(12), joint_upper_limits=np.ones(12),
+        joint_lower_limits=-np.ones(12), use_imu=True,
+        observation_history=2, maximum_pitch_command=0.0,
+        maximum_roll_command=0.0,
+        gait_phase_observation=True, gait_frequency=f_hz, control_dt=dt,
+    )
+    path = tmp_path / "gait_policy.json"
+    path.write_text(json.dumps(exported))
+    build_native_runtime()
+    policy = NativePolicy(str(path))
+    assert policy.in_dim == 74
+    assert policy.gait_enabled and policy.gait_frequency == f_hz
+
+    rng = np.random.default_rng(7)
+    for repeat in range(2):  # reset_clock restarts the phase
+        policy.reset_clock()
+        for t in range(8):
+            hist = rng.standard_normal(72).astype(np.float32)
+            native_out = policy.infer_clocked(hist)
+            phase = (2.0 * np.pi * f_hz * dt * t) % (2.0 * np.pi)
+            full = np.concatenate(
+                [hist, [np.cos(phase), np.sin(phase)]]
+            ).astype(np.float32)
+            python_out = apply_exported_policy(exported, full)
+            np.testing.assert_allclose(
+                native_out, python_out, rtol=1e-5, atol=1e-6,
+                err_msg=f"repeat {repeat} tick {t}",
+            )
+    # non-gait policies: infer_clocked degrades to plain infer
+    policy.close()
+
+
 def test_native_rejects_garbage(tmp_path):
     bad = tmp_path / "bad.json"
     bad.write_text('{"layers": "nope"}')
