@@ -236,10 +236,19 @@ Policy* LoadPolicy(const char* path) {
   policy->in_dim = static_cast<int>(in_shape->array[1].number);
   if (const JsonValue* g = root.find("gait_phase_observation"))
     policy->gait_phase_observation = g->kind == JsonValue::kBool && g->boolean;
-  if (const JsonValue* g = root.find("gait_frequency"))
-    policy->gait_frequency = g->number;
-  if (const JsonValue* g = root.find("control_dt"))
-    policy->control_dt = g->number;
+  if (policy->gait_phase_observation) {
+    // schema-validate at load, like the layer checks: a non-numeric
+    // frequency/dt would silently freeze the clock, and in_dim < 3
+    // leaves no room for the 2 clock features (and would underflow the
+    // size arithmetic in infer_clocked)
+    const JsonValue* f = root.find("gait_frequency");
+    const JsonValue* dt = root.find("control_dt");
+    if (!f || f->kind != JsonValue::kNumber || !dt ||
+        dt->kind != JsonValue::kNumber || policy->in_dim < 3)
+      return nullptr;
+    policy->gait_frequency = f->number;
+    policy->control_dt = dt->number;
+  }
   for (const auto& lv : layers->array) {
     const JsonValue* type = lv.find("type");
     const JsonValue* weights = lv.find("weights");

@@ -744,9 +744,12 @@ class PupperV3Env(Env):
 
         obs = env_out["obs"]
         if self._gait_phase_obs:
-            # free-running clock (persists across brax-semantics
-            # auto-resets, like the command): deterministic, so it lives
-            # entirely outside the fused step core
+            # deterministic clock, entirely outside the fused step core.
+            # The bare env's clock free-runs; AutoResetWrapper restarts it
+            # on the EFFECTIVE done (env termination OR episode time
+            # limit, which the env can't see) so each auto-reset episode
+            # observes the fresh-reset sequence — matching the deployed
+            # runtime's reset_clock().
             phase = jnp.mod(
                 info["gait_phase"]
                 + self._dtype(2.0 * np.pi * self._gait_frequency * self._dt),

@@ -145,6 +145,18 @@ class AutoResetWrapper(Wrapper):
         )
         obs = where_done(state.info["first_obs"], state.obs)
         state = state.replace(pipeline_state=pipeline_state, obs=obs)
+        if "gait_phase" in state.info:
+            # restart the gait clock with the episode: the restored
+            # first_obs tail reads phase 0, and the next step then shows
+            # dphi — exactly the fresh-reset sequence (and the deployed
+            # runtime's reset_clock()). Keyed on the EFFECTIVE done, which
+            # includes EpisodeWrapper time limits the env can't see.
+            info = dict(state.info)
+            info["gait_phase"] = jnp.where(
+                state.done > 0.5, jnp.zeros_like(info["gait_phase"]),
+                info["gait_phase"],
+            )
+            state = state.replace(info=info)
         if "privileged_obs" in state.info:
             info = dict(state.info)
             info["privileged_obs"] = where_done(

@@ -24,11 +24,18 @@ def build_native_runtime(force: bool = False) -> str:
     timestamp check makes this a no-op when the .so is fresh — always
     invoking it prevents a stale library (older than policy_runtime.cc)
     from being loaded with missing symbols."""
-    if force:
-        subprocess.run(
-            ["make", "-C", _NATIVE_DIR, "clean"], check=True, capture_output=True
-        )
-    subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    try:
+        if force:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "clean"], check=True,
+                capture_output=True,
+            )
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    except (FileNotFoundError, subprocess.CalledProcessError):
+        # no toolchain on this host (deployment image): a prebuilt library
+        # is acceptable — it just can't be refreshed here
+        if not os.path.exists(_LIB_PATH):
+            raise
     return _LIB_PATH
 
 

@@ -15,15 +15,11 @@ import subprocess
 import tempfile
 from typing import List, Optional, Sequence
 
-# On a headless host mujoco's default GLFW backend probes for a display
-# and can BLOCK indefinitely (observed hanging the test suite); EGL fails
-# fast when no GL is available and works headless when a GPU exists.
-# NOTE: mujoco binds the backend at its FIRST import, so puppax/__init__.py
-# sets this too (guarded by a libEGL probe) — this fallback only helps
-# when tools.video is imported before anything touches mujoco.
-if not os.environ.get("MUJOCO_GL") and not os.environ.get("DISPLAY"):
-    os.environ["MUJOCO_GL"] = "egl"
-
+# Headless GL backend selection lives in puppax/__init__.py (MUJOCO_GL=egl
+# when no display AND libEGL exists — mujoco binds the backend at its
+# FIRST import, and package __init__ always runs before this module). No
+# unguarded fallback here: forcing egl without libEGL would make `import
+# mujoco` itself raise and break physics for the whole process.
 import mujoco
 import numpy as np
 

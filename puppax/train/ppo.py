@@ -399,6 +399,22 @@ def train(
         training_state, env_state, key_ = carry
         key_, key_sgd, key_unroll = jax.random.split(key_, 3)
 
+        if curriculum_steps > 0:
+            # disturbance curriculum: ramp kick/noise 0 -> 1 with env-step
+            # progress, IN-GRAPH per training step (an epoch-granular
+            # host-side update would leave a num_evals=1 run at
+            # difficulty 0 for its entire single epoch). Elementwise
+            # update keeps the per-env sharding.
+            steps_f = (
+                training_state.env_steps.hi.astype(jnp.float32) * _STEP_BASE
+                + training_state.env_steps.lo.astype(jnp.float32)
+            )
+            d = jnp.clip(steps_f / float(curriculum_steps), 0.0, 1.0)
+            env_state = env_state.replace(info={
+                **env_state.info,
+                "difficulty": env_state.info["difficulty"] * 0.0 + d,
+            })
+
         policy = make_policy(
             (
                 training_state.normalizer_params if normalize_observations else None,
@@ -562,18 +578,8 @@ def train(
         )
 
     for _ in range(num_evals_after_init):
-        step_now = jax.device_get(training_state.env_steps).to_int()
-        if step_now >= num_timesteps:
+        if jax.device_get(training_state.env_steps).to_int() >= num_timesteps:
             break  # resumed past the target
-        if curriculum_steps > 0:
-            # disturbance curriculum: ramp kick/noise amplitudes 0 -> 1
-            # over the first curriculum_steps env steps (host-driven, one
-            # epoch granularity; sharding-preserving elementwise update)
-            d = min(1.0, step_now / curriculum_steps)
-            env_state = env_state.replace(info={
-                **env_state.info,
-                "difficulty": env_state.info["difficulty"] * 0.0 + d,
-            })
         key, epoch_key = jax.random.split(key)
         t = time.perf_counter()
         training_state, env_state, train_metrics = epoch_fn(

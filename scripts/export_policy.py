@@ -86,6 +86,23 @@ def main():
         action_scale=args.action_scale,
         observation_history=args.observation_history,
     )
+    # the gait flag must match how the policy was trained: the clock adds
+    # 2 obs dims, so the checkpoint's normalizer width is the ground truth
+    # (exporting with the wrong flag would silently misalign the runtime's
+    # clock features against real observation dims)
+    expected = env.observation_size + (2 if args.gait_phase_observation else 0)
+    got = int(np.asarray(norm.mean).size)
+    if got != expected:
+        hint = (
+            "trained WITH the gait clock: pass --gait-phase-observation"
+            if got == env.observation_size + 2
+            else "trained WITHOUT the gait clock: drop --gait-phase-observation"
+            if got == env.observation_size
+            else "check --observation-history"
+        )
+        raise SystemExit(
+            f"checkpoint obs width {got} != expected {expected} ({hint})"
+        )
     exported = convert_params(
         (norm, policy_params),
         activation=args.activation,

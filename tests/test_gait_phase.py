@@ -64,6 +64,7 @@ def test_clock_advances_and_history_is_untouched(envs):
         np.testing.assert_array_equal(
             np.asarray(sg.reward), np.asarray(sp.reward), err_msg=f"t={t}"
         )
+        assert float(sp.done) == 0.0  # phase expectation assumes no reset
         phase = (dphi * t) % (2.0 * np.pi)
         np.testing.assert_allclose(
             np.asarray(sg.obs[-2:]), [np.cos(phase), np.sin(phase)],
@@ -88,16 +89,19 @@ def test_wrapped_batched_rollout():
     state = jax.jit(wrapped.reset)(rngs)
     assert state.obs.shape == (B, env.observation_size)
     step = jax.jit(wrapped.step)
+    ticks = np.zeros(B)  # steps since the last done, per env
     for t in range(10):
         act = jax.random.uniform(
             jax.random.PRNGKey(t), (B, 12), minval=-0.5, maxval=0.5
         )
         state = step(state, act)
-    # free-running: after 10 steps every env's clock sits at 10*dphi
+        ticks += 1
+        # the clock restarts on done (fresh-reset sequence after auto-reset)
+        ticks[np.asarray(state.done) > 0.5] = 0
     dphi = 2.0 * np.pi * 2.5 * env.dt
     np.testing.assert_allclose(
         np.asarray(state.info["gait_phase"]),
-        np.full(B, (10 * dphi) % (2 * np.pi)), rtol=1e-5,
+        (ticks * dphi) % (2 * np.pi), rtol=1e-5, atol=1e-6,
     )
     assert bool(jnp.all(jnp.isfinite(state.obs)))
 
