@@ -18,6 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+# in-process pin for CPU smokes: the image's sitecustomize re-pins the
+# accelerator over JAX_PLATFORMS, and axon backend RESOLUTION hangs when
+# the TPU tunnel is down — so plain env vars can't force cpu here
+if os.environ.get("PUPPAX_WORKER_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PUPPAX_WORKER_PLATFORM"])
+
 
 def main():
     backend = jax.default_backend()
@@ -25,18 +31,34 @@ def main():
         print(json.dumps({"backend": "cpu"}))
         return
 
+    import xml.etree.ElementTree as ET
+
     from puppax.configs import get_config
     from puppax.env import PupperV3Env
+    from puppax.model import assets, obstacles, terrain
 
+    config = sys.argv[1] if len(sys.argv) > 1 else "flat"
     B = 2048
     T = 3
     STEPS_TIMED = 50
+
+    xml_string = None
+    if config == "obstacles":
+        tree = obstacles.add_boxes_to_model(
+            assets.pupper_xml_tree(), n_boxes=8, x_range=(-3.0, 3.0),
+            y_range=(-3.0, 3.0),
+        )
+        xml_string = ET.tostring(tree.getroot(), encoding="unicode")
+    elif config == "hfield":
+        tree = terrain.add_heightfield_to_model(assets.pupper_xml_tree())
+        xml_string = ET.tostring(tree.getroot(), encoding="unicode")
 
     def build(env_mode):
         os.environ["PUPPAX_SOA"] = "auto"
         os.environ["PUPPAX_SOA_ENV"] = env_mode
         return PupperV3Env(
             path=None,
+            xml_string=xml_string,
             reward_config=get_config(),
             action_scale=0.75,
             observation_history=2,

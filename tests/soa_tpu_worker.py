@@ -18,6 +18,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# in-process pin for CPU smokes: the image's sitecustomize re-pins the
+# accelerator over JAX_PLATFORMS, and axon backend RESOLUTION hangs when
+# the TPU tunnel is down — so plain env vars can't force cpu here
+if os.environ.get("PUPPAX_WORKER_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PUPPAX_WORKER_PLATFORM"])
+
 
 def main():
     backend = jax.default_backend()
@@ -33,6 +39,9 @@ def main():
 
     def build(mode):
         os.environ["PUPPAX_SOA"] = mode
+        # this worker compares the PHYSICS kernel vs the XLA physics path;
+        # the fused env-step kernel would swallow both legs if left on
+        os.environ["PUPPAX_SOA_ENV"] = "off"
         return PupperV3Env(
             path=None,
             reward_config=get_config(),

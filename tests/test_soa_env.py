@@ -277,10 +277,13 @@ def test_reward_order_matches_scales(env):
 
 @pytest.mark.tpu
 @pytest.mark.slow
-def test_on_device_env_kernel():
+@pytest.mark.parametrize("config", ["flat", "obstacles", "hfield"])
+def test_on_device_env_kernel(config):
     """Compiled fused env-step kernel vs the physics-kernel-only path on
-    the real chip: 3-step batched trajectories agree, finite, and the
-    fused path is faster (re-exec worker pattern, see
+    the real chip, for every training terrain (the obstacle sphere-box and
+    heightfield masked-fold narrowphases introduce lowering paths the flat
+    kernel never exercises): 3-step batched trajectories agree, finite,
+    and the fused path is faster (re-exec worker pattern, see
     tests/test_tpu_numerics.py)."""
     import json
     import os
@@ -293,8 +296,8 @@ def test_on_device_env_kernel():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     penv["PYTHONPATH"] = repo + os.pathsep + penv.get("PYTHONPATH", "")
     proc = subprocess.run(
-        [sys.executable, worker], env=penv, capture_output=True, text=True,
-        timeout=900,
+        [sys.executable, worker, config], env=penv, capture_output=True,
+        text=True, timeout=900,
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])
