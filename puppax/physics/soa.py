@@ -40,11 +40,13 @@ Design notes:
     loops are fori_loops, keeping the emitted program small.
 
 Supported model class: free+hinge tree with plane-sphere (static plane),
-sphere-sphere, world-static sphere-box (obstacle terrain) and world-static
-heightfield-sphere (rough terrain, grids up to MAX_HFIELD_CELLS) contacts
-— i.e. all three training configurations. ``soa_supported(m)`` gates;
-unsupported models (capsules, dynamic boxes, giant hfield grids) fall
-back to the vmapped XLA path.
+sphere-sphere, world-static sphere-box (obstacle terrain), world-static
+heightfield-sphere (rough terrain, grids up to MAX_HFIELD_CELLS),
+plane-capsule (two end rows, capsule-aligned friction frames),
+sphere-capsule and capsule-capsule contacts — all three training
+configurations plus capsule-legged robot variants. ``soa_supported(m)``
+gates; unsupported models (dynamic boxes/planes, giant hfield grids,
+multi-tree scenes) fall back to the vmapped XLA path.
 """
 
 from __future__ import annotations
@@ -274,6 +276,13 @@ class _Pair(NamedTuple):
     hf_pos: tuple = (0.0, 0.0, 0.0)
     hf_size: tuple = (0.0, 0.0, 0.0)  # rx, ry, elevation_z
     hf_grid: tuple = ()  # (nrow, ncol) normalized elevations, row tuples
+    # capsule fields: geom2-side capsule ('pc'/'sc'/'cc')
+    cap_half: float = 0.0  # axis half-length
+    cap_quat: tuple = (1.0, 0.0, 0.0, 0.0)  # local geom quat
+    cap_end: int = 0  # pc only: endpoint index (0 -> -axis, 1 -> +axis)
+    # cc only: the geom1-side capsule (center/radius ride radius1/sphere_off1)
+    cap_half1: float = 0.0
+    cap_quat1: tuple = (1.0, 0.0, 0.0, 0.0)
 
 
 def soa_supported(m: RobotModel) -> bool:
@@ -297,12 +306,11 @@ def soa_supported(m: RobotModel) -> bool:
     for _, g2 in m.pairs_sphere_box:
         if m.geom_bodyid[g2] != 0:
             return False
-    if (
-        getattr(m, "pairs_plane_capsule", ())
-        or getattr(m, "pairs_sphere_capsule", ())
-        or getattr(m, "pairs_capsule_capsule", ())
-    ):
-        return False  # capsule narrowphase: XLA path only (r2)
+    # capsules supported; plane-capsule planes must be world-static (their
+    # pose + contact frame fallback are trace-time constants, like ps)
+    for g1, _ in getattr(m, "pairs_plane_capsule", ()):
+        if m.geom_bodyid[g1] != 0:
+            return False
     if m.solver_iterations != 1:
         # the kernel unrolls iterations without the XLA path's masked
         # tolerance early-exit; only the 1-iteration reference setting is
@@ -588,6 +596,107 @@ class _Static:
                     hf_pos=tuple(float(c) for c in geom_pos[g1]),
                     hf_size=tuple(float(c) for c in hf_size[:3]),
                     hf_grid=hf_grid,
+                )
+            )
+        # plane-capsule: TWO rows per pair (one per endpoint sphere), in
+        # collide's interleaved order [pair0_end0, pair0_end1, pair1_end0...]
+        for g1, g2 in getattr(m, "pairs_plane_capsule", ()):
+            w, x, y, z = geom_quat[g1]
+            R = np.array(
+                [
+                    [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                    [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                    [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+                ]
+            )
+            n = R[:, 2]
+            e = (
+                np.array([0.0, 1.0, 0.0])
+                if abs(n[1]) < 0.5
+                else np.array([0.0, 0.0, 1.0])
+            )
+            t2 = np.cross(n, e)
+            t2 = t2 / max(np.linalg.norm(t2), 1e-12)
+            t1 = np.cross(t2, n)
+            cb = m.geom_bodyid[g2]
+            for end in (0, 1):
+                self.pairs.append(
+                    _Pair(
+                        kind="pc",
+                        sphere_geom=g2,
+                        sphere_body=cb,
+                        radius=float(geom_size[g2][0]),
+                        sphere_off=tuple(geom_pos[g2]),
+                        plane_point=tuple(geom_pos[g1]),
+                        plane_n=tuple(n),
+                        frame_t1=tuple(t1),  # vertical-capsule fallback
+                        frame_t2=tuple(t2),
+                        solref=tuple(0.5 * (geom_solref[g1] + geom_solref[g2])),
+                        solimp=tuple(0.5 * (geom_solimp[g1] + geom_solimp[g2])),
+                        invweight=float(body_iw[m.geom_bodyid[g1]] + body_iw[cb]),
+                        geom1=int(g1),
+                        geom2=int(g2),
+                        body1=int(m.geom_bodyid[g1]),
+                        body2=int(cb),
+                        cap_half=float(geom_size[g2][1]),
+                        cap_quat=tuple(float(c) for c in geom_quat[g2]),
+                        cap_end=end,
+                    )
+                )
+        # sphere-capsule (sphere is geom1, like ss's first-sphere side)
+        for g1, g2 in getattr(m, "pairs_sphere_capsule", ()):
+            b1, b2 = m.geom_bodyid[g1], m.geom_bodyid[g2]
+            self.pairs.append(
+                _Pair(
+                    kind="sc",
+                    sphere_geom=g2,
+                    sphere_body=b2,
+                    radius=float(geom_size[g2][0]),
+                    sphere_off=tuple(geom_pos[g2]),
+                    plane_point=(0.0, 0.0, 0.0),
+                    plane_n=(0.0, 0.0, 1.0),
+                    frame_t1=(0.0, 1.0, 0.0),
+                    frame_t2=(-1.0, 0.0, 0.0),
+                    solref=tuple(0.5 * (geom_solref[g1] + geom_solref[g2])),
+                    solimp=tuple(0.5 * (geom_solimp[g1] + geom_solimp[g2])),
+                    invweight=float(body_iw[b1] + body_iw[b2]),
+                    geom1=int(g1),
+                    geom2=int(g2),
+                    body1=int(b1),
+                    body2=int(b2),
+                    radius1=float(geom_size[g1][0]),
+                    sphere_off1=tuple(geom_pos[g1]),
+                    cap_half=float(geom_size[g2][1]),
+                    cap_quat=tuple(float(c) for c in geom_quat[g2]),
+                )
+            )
+        # capsule-capsule (geom1 capsule rides the radius1/off1/cap_*1 slots)
+        for g1, g2 in getattr(m, "pairs_capsule_capsule", ()):
+            b1, b2 = m.geom_bodyid[g1], m.geom_bodyid[g2]
+            self.pairs.append(
+                _Pair(
+                    kind="cc",
+                    sphere_geom=g2,
+                    sphere_body=b2,
+                    radius=float(geom_size[g2][0]),
+                    sphere_off=tuple(geom_pos[g2]),
+                    plane_point=(0.0, 0.0, 0.0),
+                    plane_n=(0.0, 0.0, 1.0),
+                    frame_t1=(0.0, 1.0, 0.0),
+                    frame_t2=(-1.0, 0.0, 0.0),
+                    solref=tuple(0.5 * (geom_solref[g1] + geom_solref[g2])),
+                    solimp=tuple(0.5 * (geom_solimp[g1] + geom_solimp[g2])),
+                    invweight=float(body_iw[b1] + body_iw[b2]),
+                    geom1=int(g1),
+                    geom2=int(g2),
+                    body1=int(b1),
+                    body2=int(b2),
+                    radius1=float(geom_size[g1][0]),
+                    sphere_off1=tuple(geom_pos[g1]),
+                    cap_half=float(geom_size[g2][1]),
+                    cap_quat=tuple(float(c) for c in geom_quat[g2]),
+                    cap_half1=float(geom_size[g1][1]),
+                    cap_quat1=tuple(float(c) for c in geom_quat[g1]),
                 )
             )
         self.npair = len(self.pairs)
@@ -1153,6 +1262,131 @@ def _emit_forward(s: _Static, q, v, ctrl, dr):
             t1 = vcross3(t2, n)
             # normal points hfield -> sphere (like plane-sphere): J = +jac
             dof_coeff = {d: 1.0 for d in s.chains[b]}
+        elif pr.kind == "pc":
+            # plane vs capsule ENDPOINT (collision._plane_capsule: one row
+            # per end). Frame: t1 = capsule axis projected onto the plane
+            # (the friction pyramid aligns with the capsule), falling back
+            # to the constant mju_makeFrame tangent for vertical capsules.
+            ref0 = materialize(center[0], center[0])
+            q_g = qmul(xquat[b], [float(x) for x in pr.cap_quat])
+            axis = qrot([0.0, 0.0, 1.0], q_g)
+            sgn = -1.0 if pr.cap_end == 0 else 1.0
+            end = vadd3(center, vscale3(axis, mul(sgn, pr.cap_half)))
+            n = [float(x) for x in pr.plane_n]
+            pp = [float(x) for x in pr.plane_point]
+            dist = sub(vdot3(n, vsub3(end, pp)), pr.radius)
+            cpos = vsub3(end, vscale3(n, add(pr.radius, mul(0.5, dist))))
+            na = vdot3(n, axis)
+            proj = [
+                materialize(sub(axis[i], mul(n[i], na)), ref0) for i in range(3)
+            ]
+            pn = jnp.sqrt(materialize(vdot3(proj, proj), ref0))
+            use_proj = pn > 1e-8
+            inv_pn = 1.0 / jnp.maximum(pn, 1e-12)
+            t1 = [
+                jnp.where(use_proj, proj[i] * inv_pn, float(pr.frame_t1[i]))
+                for i in range(3)
+            ]
+            t2 = vcross3(n, t1)
+            # normal points plane -> capsule: J = +jac (like ps)
+            dof_coeff = {d: 1.0 for d in s.chains[b]}
+        elif pr.kind == "sc":
+            # sphere (geom1) vs nearest point on the capsule axis segment
+            # (collision._sphere_capsule semantics)
+            b1 = pr.body1
+            off1 = [float(x) for x in pr.sphere_off1]
+            c1 = vadd3(xpos[b1], qrot(off1, xquat[b1]))
+            ref0 = materialize(center[0], center[0])
+            q_g = qmul(xquat[b], [float(x) for x in pr.cap_quat])
+            axis = qrot([0.0, 0.0, 1.0], q_g)
+            tpar = jnp.clip(
+                materialize(vdot3(vsub3(c1, center), axis), ref0),
+                -pr.cap_half, pr.cap_half,
+            )
+            nearest = vadd3(center, vscale3(axis, tpar))
+            delta = vsub3(nearest, c1)
+            length = jnp.sqrt(materialize(vdot3(delta, delta), ref0))
+            inv_len = 1.0 / jnp.maximum(length, 1e-12)
+            n = [materialize(delta[i], ref0) * inv_len for i in range(3)]
+            dist = sub(length, pr.radius1 + pr.radius)
+            cpos = vadd3(c1, vscale3(n, add(pr.radius1, mul(0.5, dist))))
+            # dynamic contact frame (mju_makeFrame, as collision._make_frames)
+            use_y = jnp.abs(n[1]) < 0.5
+            ax = [0.0, jnp.where(use_y, 1.0, 0.0), jnp.where(use_y, 0.0, 1.0)]
+            t2 = vcross3(n, ax)
+            t2n = jnp.maximum(jnp.sqrt(materialize(vdot3(t2, t2), ref0)), 1e-12)
+            t2 = [materialize(t2[i], ref0) / t2n for i in range(3)]
+            t1 = vcross3(t2, n)
+            # n points sphere -> capsule: J = J2 - J1, shared dofs cancel
+            dof_coeff = {}
+            for d in s.chains[b]:
+                dof_coeff[d] = dof_coeff.get(d, 0.0) + 1.0
+            for d in s.chains[b1]:
+                dof_coeff[d] = dof_coeff.get(d, 0.0) - 1.0
+            dof_coeff = {d: c for d, c in dof_coeff.items() if c != 0.0}
+        elif pr.kind == "cc":
+            # capsule-capsule: closest points between the axis segments
+            # (Ericson 5.1.9 clamped, exactly collision._capsule_capsule),
+            # then the virtual sphere-sphere contact
+            b1 = pr.body1
+            off1 = [float(x) for x in pr.sphere_off1]
+            c1 = vadd3(xpos[b1], qrot(off1, xquat[b1]))
+            ref0 = materialize(center[0], center[0])
+            q1 = qmul(xquat[b1], [float(x) for x in pr.cap_quat1])
+            axis1 = qrot([0.0, 0.0, 1.0], q1)
+            q2 = qmul(xquat[b], [float(x) for x in pr.cap_quat])
+            axis2 = qrot([0.0, 0.0, 1.0], q2)
+            a0 = vsub3(c1, vscale3(axis1, pr.cap_half1))
+            a1e = vadd3(c1, vscale3(axis1, pr.cap_half1))
+            b0 = vsub3(center, vscale3(axis2, pr.cap_half))
+            b1e = vadd3(center, vscale3(axis2, pr.cap_half))
+            d1v = vsub3(a1e, a0)
+            d2v = vsub3(b1e, b0)
+            r_ = vsub3(a0, b0)
+            a_ = materialize(vdot3(d1v, d1v), ref0)
+            e_ = materialize(vdot3(d2v, d2v), ref0)
+            f_ = materialize(vdot3(d2v, r_), ref0)
+            c_ = materialize(vdot3(d1v, r_), ref0)
+            bb = materialize(vdot3(d1v, d2v), ref0)
+            denom = a_ * e_ - bb * bb
+            sseg = jnp.where(
+                denom > 1e-12,
+                jnp.clip(
+                    (bb * f_ - c_ * e_) / jnp.maximum(denom, 1e-12), 0.0, 1.0
+                ),
+                0.0,
+            )
+            tseg = (bb * sseg + f_) / jnp.maximum(e_, 1e-12)
+            t_cl = jnp.clip(tseg, 0.0, 1.0)
+            sseg = jnp.where(
+                tseg != t_cl,
+                jnp.clip(
+                    (bb * t_cl - c_) / jnp.maximum(a_, 1e-12), 0.0, 1.0
+                ),
+                sseg,
+            )
+            p1 = vadd3(a0, vscale3(d1v, sseg))
+            p2 = vadd3(b0, vscale3(d2v, t_cl))
+            delta = vsub3(p2, p1)
+            length = jnp.sqrt(materialize(vdot3(delta, delta), ref0))
+            inv_len = 1.0 / jnp.maximum(length, 1e-12)
+            n = [materialize(delta[i], ref0) * inv_len for i in range(3)]
+            dist = sub(length, pr.radius1 + pr.radius)
+            cpos = vadd3(p1, vscale3(n, add(pr.radius1, mul(0.5, dist))))
+            # dynamic contact frame (mju_makeFrame, as collision._make_frames)
+            use_y = jnp.abs(n[1]) < 0.5
+            ax = [0.0, jnp.where(use_y, 1.0, 0.0), jnp.where(use_y, 0.0, 1.0)]
+            t2 = vcross3(n, ax)
+            t2n = jnp.maximum(jnp.sqrt(materialize(vdot3(t2, t2), ref0)), 1e-12)
+            t2 = [materialize(t2[i], ref0) / t2n for i in range(3)]
+            t1 = vcross3(t2, n)
+            # n points capsule1 -> capsule2: J = J2 - J1, shared dofs cancel
+            dof_coeff = {}
+            for d in s.chains[b]:
+                dof_coeff[d] = dof_coeff.get(d, 0.0) + 1.0
+            for d in s.chains[b1]:
+                dof_coeff[d] = dof_coeff.get(d, 0.0) - 1.0
+            dof_coeff = {d: c for d, c in dof_coeff.items() if c != 0.0}
         else:  # sphere-sphere (collision._sphere_sphere semantics)
             b1 = pr.body1
             off1 = [float(x) for x in pr.sphere_off1]

@@ -137,8 +137,10 @@ def test_capsule_drop_trajectory_matches_oracle(caps_oracle):
 
 
 def test_capsule_pupper_loads_and_steps(x64):
-    """The capsule-legged Pupper variant compiles, is gated off the SoA
-    kernel, and its standing drop matches the C engine."""
+    """The capsule-legged Pupper variant compiles, is IN the SoA kernel's
+    supported class (r2-end capsule narrowphases — the XLA path stepped
+    here is the f64 oracle leg), and its standing drop matches the C
+    engine."""
     from puppax.physics import soa
 
     xml = _capsule_pupper_xml()
@@ -149,7 +151,7 @@ def test_capsule_pupper_loads_and_steps(x64):
     m = cm.robot.tree_replace({"opt.timestep": 0.004})
     m = m.replace(max_contact_points=64, max_geom_pairs=64)
     assert len(m.pairs_plane_capsule) == 4  # the new feet
-    assert not soa.soa_supported(m)
+    assert soa.soa_supported(m)  # capsule narrowphases are in-kernel now
 
     qpos = np.array(mj.key_qpos[0])
     qpos[2] = 0.25

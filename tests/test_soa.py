@@ -322,6 +322,118 @@ def test_soa_emitter_matches_xla_pipeline_hfield(hfield_model):
     )
 
 
+@pytest.fixture(scope="module")
+def capsule_model():
+    """Capsule-legged variant (the common real-world quadruped primitive):
+    foot spheres -> capsules, exercising plane-capsule (2 rows/pair),
+    sphere-capsule and capsule-capsule in the kernel's supported class."""
+    import xml.etree.ElementTree as ET
+
+    from puppax.model.assets import pupper_xml
+
+    tree = ET.ElementTree(ET.fromstring(pupper_xml()))
+    n = 0
+    for geom in tree.getroot().iter("geom"):
+        if geom.get("type") == "sphere" and geom.get("size") == "0.01995":
+            geom.set("type", "capsule")
+            geom.set("size", "0.015 0.02")
+            n += 1
+    assert n == 4, n
+    xml = ET.tostring(tree.getroot(), encoding="unicode")
+    cm = load_model(None, xml_string=xml)
+    m = cm.robot.tree_replace({"opt.timestep": 0.004})
+    return m.replace(
+        actuator_gainprm=m.actuator_gainprm.at[:, 0].set(5.0),
+        actuator_biasprm=m.actuator_biasprm.at[:, 1].set(-5.0).at[:, 2].set(-0.25),
+    )
+
+
+def test_soa_supports_capsules(capsule_model):
+    m = capsule_model
+    assert len(m.pairs_plane_capsule) == 4
+    assert soa.soa_supported(m)
+    s = soa._Static(m)
+    # two rows per plane-capsule pair, in collide's interleaved order
+    pc = [p for p in s.pairs if p.kind == "pc"]
+    assert len(pc) == 8
+    assert [p.cap_end for p in pc[:4]] == [0, 1, 0, 1]
+    assert s.npair == len(s.pairs)
+
+
+@pytest.mark.slow
+def test_soa_emitter_matches_xla_pipeline_capsules(capsule_model):
+    """Capsule narrowphases (pc/sc/cc) + constraint rows in the SoA
+    program vs the oracle-verified XLA path (tests/test_capsule.py pins
+    that path against the MuJoCo C engine). con_dist parity covers the
+    sc/cc closest-point math on every state (contact or not); dynamics
+    are exercised through the standing plane-capsule contacts."""
+    m = capsule_model
+    B = 12
+    qpos, qvel, ctrl = _random_states(m, B, seed=4)
+    s = soa._Static(m)
+    # pin the first four envs near standing so capsule feet penetrate
+    qp0 = np.asarray(m.key_qpos, np.float32)
+    for e in range(4):
+        qpos = qpos.at[e].set(jnp.asarray(qp0))
+        qpos = qpos.at[e, 2].set(qp0[2] - 0.004 * (e + 1))
+        qvel = qvel.at[e].set(0.1 * qvel[e])
+    kinds = np.array(
+        [
+            {"ps": 0, "ss": 1, "bs": 2, "hs": 3, "pc": 4, "sc": 5, "cc": 6}[
+                p.kind
+            ]
+            for p in s.pairs
+        ]
+    )
+
+    def xla_step(qp, qv, ct):
+        st = pipeline._zeros_state(m, qp, qv)
+        out = pipeline.pipeline_step(m, st, ct, n_substeps=1)
+        return out.qpos, out.qvel, out.contact.dist
+
+    ref = jax.jit(jax.vmap(xla_step))(qpos, qvel, ctrl)
+    dr = soa.dr_inputs(m, s, B)
+
+    pc_dyn_checked = 0
+    for e in range(B):
+        ql = [qpos[e, i] for i in range(m.nq)]
+        vl = [qvel[e, i] for i in range(m.nv)]
+        cl = [ctrl[e, i] for i in range(m.nu)]
+        drl = {
+            k: [jnp.asarray(x, jnp.float32) for x in np.asarray(arr[e]).reshape(-1)]
+            for k, arr in dr.items()
+        }
+        fw = soa._emit_forward(s, ql, vl, cl, drl)
+        q2, v2 = soa._emit_integrate(s, ql, vl, fw["qacc"])
+        q2 = np.array([float(soa.materialize(t, qpos[e, 0])) for t in q2])
+        v2 = np.array([float(soa.materialize(t, qpos[e, 0])) for t in v2])
+        dist = np.array(
+            [float(soa.materialize(t, qpos[e, 0])) for t in fw["con_dist"]]
+        )
+        np.testing.assert_allclose(
+            dist, np.asarray(ref[2][e]), atol=5e-5, err_msg=f"env {e} con_dist"
+        )
+        pen = dist < 0
+        per_type_ok = all(
+            int(np.sum(pen[kinds == t])) <= m.max_geom_pairs for t in range(7)
+        )
+        if not (per_type_ok and int(np.sum(pen)) <= m.max_contact_points):
+            continue  # caps bind: the two solver semantics legitimately differ
+        if np.any(pen[kinds == 4]):
+            pc_dyn_checked += 1
+        np.testing.assert_allclose(
+            q2, np.asarray(ref[0][e]), atol=5e-5, err_msg=f"env {e} qpos"
+        )
+        scale_v = max(1.0, float(np.max(np.abs(ref[1][e]))))
+        np.testing.assert_allclose(
+            v2 / scale_v, np.asarray(ref[1][e]) / scale_v, atol=5e-4,
+            err_msg=f"env {e} qvel (relative)",
+        )
+    assert pc_dyn_checked >= 1, (
+        "no in-cap test state stood on its capsule feet — dynamics not exercised"
+    )
+
+
 @pytest.mark.slow
 def test_soa_emitter_matches_xla_pipeline(model):
     """The SoA program (run host-side on 0-d values — the value algebra is

@@ -223,6 +223,42 @@ def test_env_kernel_supports_heightfield():
 
 
 @pytest.mark.slow
+def test_env_kernel_supports_capsule_legs():
+    """A capsule-legged robot variant (foot spheres -> capsules) takes the
+    fused env kernel — pc/sc/cc contact rows emit through the full env
+    step program and match the XLA step core."""
+    import xml.etree.ElementTree as ET
+
+    from puppax.model.assets import pupper_xml
+
+    tree = ET.ElementTree(ET.fromstring(pupper_xml()))
+    for geom in tree.getroot().iter("geom"):
+        if geom.get("type") == "sphere" and geom.get("size") == "0.01995":
+            geom.set("type", "capsule")
+            geom.set("size", "0.015 0.02")
+    env = PupperV3Env(
+        path=None,
+        xml_string=ET.tostring(tree.getroot(), encoding="unicode"),
+        reward_config=get_config(),
+        action_scale=0.75,
+        observation_history=2,
+        maximum_pitch_command=10.0,
+        maximum_roll_command=10.0,
+        environment_timestep=0.004,
+        physics_timestep=0.004,
+    )
+    kinds = {p.kind for p in env._cv_core._s.pairs}
+    assert "pc" in kinds
+    # uncap the XLA side for the comparison: the capsule variant doubles
+    # plane-contact rows (two per foot), so random deep-contact trial
+    # states exceed the MJX caps the XLA core applies while the kernel is
+    # uncapped by design (C semantics) — the physics-level cap agreement
+    # is covered by tests/test_soa.py's cap-checked capsule test
+    env.model = env.model.replace(max_contact_points=32, max_geom_pairs=32)
+    _assert_env_emitter_matches(env, n_trials=2, seed=6)
+
+
+@pytest.mark.slow
 def test_env_cv_wiring_matches_direct_core(monkeypatch):
     """The env-level custom_vmap FALLBACK path (cv wrapper + tuple
     packing + State reassembly) must reproduce the direct _step_core path
