@@ -435,6 +435,58 @@ def test_soa_emitter_matches_xla_pipeline_capsules(capsule_model):
 
 
 @pytest.mark.slow
+def test_soa_all_pair_kinds_combined_reporting():
+    """One model combining obstacle boxes + heightfield + sphere feet +
+    knee spheres + floor plane (capsule feet can't join: box-capsule /
+    hfield-capsule pairs are outside the engine's class — the mjcf
+    enumerator rejects them for the XLA path too): con_dist reporting
+    parity pins the _Static pair ordering against collision.collide's
+    type-block order across the whole table."""
+    import xml.etree.ElementTree as ET
+
+    from puppax.model import assets, obstacles, terrain
+
+    tree = obstacles.add_boxes_to_model(
+        assets.pupper_xml_tree(), n_boxes=3, x_range=(-1.0, 1.0),
+        y_range=(-1.0, 1.0),
+    )
+    tree = terrain.add_heightfield_to_model(tree, nrow=8, ncol=8, seed=3)
+    xml = ET.tostring(tree.getroot(), encoding="unicode")
+    cm = load_model(None, xml_string=xml)
+    m = cm.robot.tree_replace({"opt.timestep": 0.004})
+    assert soa.soa_supported(m)
+    s = soa._Static(m)
+    kinds_present = {p.kind for p in s.pairs}
+    assert {"ps", "ss", "bs", "hs"} <= kinds_present, kinds_present
+
+    B = 6
+    qpos, qvel, ctrl = _random_states(m, B, seed=9)
+    dr = soa.dr_inputs(m, s, B)
+
+    def xla_step(qp, qv, ct):
+        st = pipeline._zeros_state(m, qp, qv)
+        out = pipeline.pipeline_step(m, st, ct, n_substeps=1)
+        return out.contact.dist
+
+    ref = jax.jit(jax.vmap(xla_step))(qpos, qvel, ctrl)
+    for e in range(B):
+        ql = [qpos[e, i] for i in range(m.nq)]
+        vl = [qvel[e, i] for i in range(m.nv)]
+        cl = [ctrl[e, i] for i in range(m.nu)]
+        drl = {
+            k: [jnp.asarray(x, jnp.float32) for x in np.asarray(arr[e]).reshape(-1)]
+            for k, arr in dr.items()
+        }
+        fw = soa._emit_forward(s, ql, vl, cl, drl)
+        dist = np.array(
+            [float(soa.materialize(t, qpos[e, 0])) for t in fw["con_dist"]]
+        )
+        np.testing.assert_allclose(
+            dist, np.asarray(ref[e]), atol=5e-5, err_msg=f"env {e} con_dist"
+        )
+
+
+@pytest.mark.slow
 def test_soa_emitter_matches_xla_pipeline(model):
     """The SoA program (run host-side on 0-d values — the value algebra is
     layout-agnostic) vs the oracle-verified XLA path on random in-contact
