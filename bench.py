@@ -184,6 +184,35 @@ def main():
     # isolation keeps every config's timing clean
     import subprocess
 
+    # fail FAST when the accelerator tunnel is down: axon backend
+    # resolution then hangs indefinitely, and each config subprocess would
+    # burn its full 1500 s timeout (3+ configs x retries). A healthy
+    # backend resolves in seconds.
+    probe_src = (
+        "import os\n"
+        "import jax\n"
+        "p = os.environ.get('PUPPAX_BENCH_PLATFORM')\n"
+        "if p:\n"
+        "    jax.config.update('jax_platforms', p)\n"
+        "import jax.numpy as jnp\n"
+        "print(jax.default_backend(), jnp.arange(8.0).sum())\n"
+    )
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", probe_src], env=dict(os.environ),
+            capture_output=True, text=True, timeout=240,
+        )
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            "bench: accelerator backend did not resolve within 240 s "
+            "(TPU tunnel down?) — aborting before queueing compiles"
+        )
+    if probe.returncode != 0:
+        raise SystemExit(
+            "bench: backend probe failed:\n" + probe.stderr[-1500:]
+        )
+    print(f"[bench] backend probe: {probe.stdout.strip()}", file=sys.stderr)
+
     lines = {}
     for config in ("flat", "obstacles", "hfield"):
         # big-batch compiles can exceed the tunneled-TPU compile budget on
