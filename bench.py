@@ -8,9 +8,10 @@ entry (benchmarks/ledger.jsonl) for the same config — a >5% regression
 shows up as vs_baseline < 0.95 instead of silently reporting 1.0
 (VERDICT r1 weakness 5).
 
-Configs: flat (headline), obstacles (box terrain), hfield (rough terrain)
-— the latter two exercise the expensive collision paths. Select with
-PUPPAX_BENCH_CONFIG=flat|obstacles|hfield|all (default all).
+Configs: flat (headline), obstacles (box terrain), hfield (rough
+terrain), capsule (capsule-legged robot variant) — the non-flat configs
+exercise the expensive collision paths. Select with
+PUPPAX_BENCH_CONFIG=flat|obstacles|hfield|capsule|all (default all).
 
 stdout carries exactly ONE JSON line (the headline flat metric); per-config
 results and the ledger append go to stderr / benchmarks/ledger.jsonl.
@@ -51,6 +52,15 @@ def build_env(config: str):
         from puppax.model import terrain
 
         tree = terrain.add_heightfield_to_model(assets.pupper_xml_tree())
+        xml_string = ET.tostring(tree.getroot(), encoding="unicode")
+    elif config == "capsule":
+        # capsule-legged variant (the common real-world quadruped MJCF):
+        # plane-capsule/sphere-capsule/capsule-capsule kernel class
+        tree = assets.pupper_xml_tree()
+        for geom in tree.getroot().iter("geom"):
+            if geom.get("type") == "sphere" and geom.get("size") == "0.01995":
+                geom.set("type", "capsule")
+                geom.set("size", "0.015 0.02")
         xml_string = ET.tostring(tree.getroot(), encoding="unicode")
 
     return PupperV3Env(
@@ -134,7 +144,8 @@ def prior_best(config: str) -> float:
 # round 2: 4096 -> 3.24M, 8192 -> 4.31M, 16384 -> 4.92M env-steps/s;
 # 32768 exceeded the tunneled-TPU compile budget). The collision-heavy
 # configs stay at the training batch size.
-DEFAULT_ENVS = {"flat": 16384, "obstacles": 4096, "hfield": 4096}
+DEFAULT_ENVS = {"flat": 16384, "obstacles": 4096, "hfield": 4096,
+                "capsule": 4096}
 
 
 def run_one(config: str) -> None:
@@ -214,7 +225,7 @@ def main():
     print(f"[bench] backend probe: {probe.stdout.strip()}", file=sys.stderr)
 
     lines = {}
-    for config in ("flat", "obstacles", "hfield"):
+    for config in ("flat", "obstacles", "hfield", "capsule"):
         # big-batch compiles can exceed the tunneled-TPU compile budget on
         # a bad day — fall back to the always-reliable training batch size
         # rather than losing the config's headline entirely
