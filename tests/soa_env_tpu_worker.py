@@ -52,6 +52,13 @@ def main():
     elif config == "hfield":
         tree = terrain.add_heightfield_to_model(assets.pupper_xml_tree())
         xml_string = ET.tostring(tree.getroot(), encoding="unicode")
+    elif config == "capsule":
+        tree = assets.pupper_xml_tree()
+        for geom in tree.getroot().iter("geom"):
+            if geom.get("type") == "sphere" and geom.get("size") == "0.01995":
+                geom.set("type", "capsule")
+                geom.set("size", "0.015 0.02")
+        xml_string = ET.tostring(tree.getroot(), encoding="unicode")
 
     def build(env_mode):
         os.environ["PUPPAX_SOA"] = "auto"

@@ -313,7 +313,7 @@ def test_reward_order_matches_scales(env):
 
 @pytest.mark.tpu
 @pytest.mark.slow
-@pytest.mark.parametrize("config", ["flat", "obstacles", "hfield"])
+@pytest.mark.parametrize("config", ["flat", "obstacles", "hfield", "capsule"])
 def test_on_device_env_kernel(config):
     """Compiled fused env-step kernel vs the physics-kernel-only path on
     the real chip, for every training terrain (the obstacle sphere-box and
