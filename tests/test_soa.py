@@ -594,9 +594,11 @@ def test_on_device_soa_matches_xla():
     env.pop("XLA_FLAGS", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # 45 min: two full env compiles through the TPU tunnel can exceed the
+    # old 900 s budget (ADVICE r2 — the FF on-chip log was this timeout)
     proc = subprocess.run(
         [sys.executable, worker], env=env, capture_output=True, text=True,
-        timeout=900,
+        timeout=2700,
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])

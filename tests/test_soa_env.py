@@ -331,9 +331,13 @@ def test_on_device_env_kernel(config):
     penv.pop("XLA_FLAGS", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     penv["PYTHONPATH"] = repo + os.pathsep + penv.get("PYTHONPATH", "")
+    # 45 min: the worker compiles TWO full env builds (fused kernel +
+    # physics-kernel fallback); tunneled-TPU compiles have been measured
+    # well past the old 900 s budget, which made this test fail as a
+    # timeout with no diagnosable output (ADVICE r2)
     proc = subprocess.run(
         [sys.executable, worker, config], env=penv, capture_output=True,
-        text=True, timeout=900,
+        text=True, timeout=2700,
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])
