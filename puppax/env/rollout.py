@@ -1,0 +1,428 @@
+"""Tiles-resident rollout fast lane: zero relayouts per env step.
+
+The r3 boundary profile (dev/profile_boundary.py) showed the fused env
+kernel itself costs ~50 us per 4096-env step while the full wrapped step
+costs ~1.7 ms: nearly all wall time is the PER-STEP kernel boundary —
+(B, rows) <-> (rows, B/LANE, LANE) relayouts, env-state dict
+flatten/unflatten, PhysicsState reassembly, and the wrapper's small XLA
+ops. This module removes that boundary from the loop:
+
+* the scan CARRY is the kernel's native tile layout (rows, B/LANE, LANE)
+  — qpos/qvel rows, the flattened env-state block, and a 2-row wrapper
+  block (episode steps, prev done). Entering/leaving the rollout costs
+  ONE relayout per array per unroll instead of ~10 per step;
+* episode bookkeeping and auto-reset run INSIDE the kernel
+  (soa_env._build_wrapped_kernel — wrappers.py:56-166 semantics);
+* every random number the unroll consumes is pre-drawn OUTSIDE the scan
+  on the bit-identical per-env threefry chains (`_draw_step_noise` order,
+  reference environment.py:349-361,457-469,498-516), then handed to the
+  kernel as plain rows;
+* the policy MLP runs in the same feature-major layout
+  ((in, B) matmuls on the MXU) so actions feed the kernel directly.
+
+The lane reproduces the standard `AutoReset(Vmap(Episode(env)))` +
+``acting.generate_unroll`` semantics exactly (tests/test_rollout.py);
+PhysicsState leaves other than qpos/qvel are NOT recomputed at the
+unroll boundary (training consumes only obs/reward/done — the stale
+leaves are never read; the eval/render paths use the standard lane).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from puppax.env import soa_env
+from puppax.env.wrappers import AutoResetWrapper, EpisodeWrapper, VmapWrapper
+from puppax.physics import soa
+from puppax.train.acting import Transition
+
+LANE = soa.LANE
+TILE_B = soa.TILE_B
+
+
+def _unwrap(wrapped) -> Optional[Tuple[Any, Any, Any]]:
+    """(auto_reset, vmap, episode) from the training wrapper stack, or
+    None if the stack is not the canonical AutoReset(Vmap(Episode(env)))."""
+    if not isinstance(wrapped, AutoResetWrapper):
+        return None
+    vm = wrapped.env
+    if not isinstance(vm, VmapWrapper):
+        return None
+    ep = vm.env
+    if not isinstance(ep, EpisodeWrapper):
+        return None
+    return wrapped, vm, ep
+
+
+def supported(wrapped, collect_metrics: bool = False) -> bool:
+    """True when the fast lane can run this wrapped env on this backend
+    with standard-lane-equal semantics."""
+    import os
+
+    stack = _unwrap(wrapped)
+    if stack is None:
+        return False
+    _, vm, ep = stack
+    env = ep.env
+    mode = os.environ.get("PUPPAX_SOA_ENV", "auto")
+    if mode == "off" or os.environ.get("PUPPAX_FAST_LANE", "auto") == "off":
+        return False
+    on_accel = jax.default_backend() in ("tpu", "axon")
+    if not (mode in ("force", "interpret") or on_accel):
+        return False
+    return (
+        getattr(env, "_use_soa_env", False)
+        and ep.action_repeat == 1
+        and not env._gait_phase_obs
+        and not env._privileged_obs
+        and not collect_metrics
+    )
+
+
+class FastLane:
+    """Precompiled fast-lane unroll for one wrapped training env.
+
+    ``mode``: 'kernel' (pallas, the production TPU path), 'interpret'
+    (pallas interpret — slow), or 'xla' (the same emission evaluated as
+    plain XLA ops — the CPU test oracle for the kernel path).
+    """
+
+    def __init__(self, wrapped, mode: str = "kernel"):
+        _, vm, ep = _unwrap(wrapped)
+        env = ep.env
+        self.env = env
+        self.episode_length = int(ep.episode_length)
+        self._model = vm._model if vm._model is not None else env.model
+        self._mode = mode
+        core = env._cv_core
+        self.s: soa._Static = core._s
+        self.es: soa_env._EnvStatic = core._es
+        self._kernel = None
+        if mode != "xla":
+            self._kernel = soa_env._build_wrapped_kernel(
+                self.s, self.es, env._n_substeps, self.episode_length
+            )
+        self._aux_rows = soa_env.aux_row_map(self.es)
+
+    def _step_tiles(self, q_t, v_t, act_t, env_t, noi_t, dr_t, first_t, wrap_t):
+        if self._mode == "xla":
+            return soa_env.wrapped_step_rows_xla(
+                self.s, self.es, self.env._n_substeps, self.episode_length,
+                q_t, v_t, act_t, env_t, noi_t, dr_t, first_t, wrap_t,
+            )
+        return soa_env.wrapped_step_tiles(
+            self.s, self.es, self._kernel,
+            q_t, v_t, act_t, env_t, noi_t, dr_t, first_t, wrap_t,
+            interpret=(self._mode == "interpret"),
+        )
+
+    # ---- layout helpers ---------------------------------------------------
+    def _pad(self, x: jnp.ndarray, B: int, Bp: int) -> jnp.ndarray:
+        if Bp == B:
+            return x.astype(jnp.float32)
+        pad = [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x.astype(jnp.float32), pad, mode="edge")
+
+    def carry_from_state(self, state) -> Dict[str, jnp.ndarray]:
+        """State -> tile-layout carry (one relayout per array)."""
+        es = self.es
+        B = state.pipeline_state.qpos.shape[0]
+        Bp = ((B + TILE_B - 1) // TILE_B) * TILE_B
+        info = state.info
+
+        env_in = {
+            "action_buffer": info["action_buffer"],
+            "imu_buffer": info["imu_buffer"],
+            "command": info["command"],
+            "desired_z": info["desired_world_z_in_body_frame"],
+            "last_act": info["last_act"],
+            "last_vel": info["last_vel"],
+            "feet_air_time": info["feet_air_time"],
+            "last_contact": info["last_contact"],
+            "step": info["step"],
+            "obs_history": state.obs[:, : es.hist],
+        }
+        env_rows = soa_env._flatten_env_in(es, env_in)
+        first = jnp.concatenate(
+            [
+                info["first_qpos"].astype(jnp.float32),
+                info["first_qvel"].astype(jnp.float32),
+                info["first_obs"][:, : es.hist].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        wrap = jnp.stack(
+            [
+                info["steps"].astype(jnp.float32),
+                state.done.astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        dr = soa.dr_inputs(self._model, self.s, B)
+        dr_parts = []
+        for name, (r0, n) in sorted(
+            self.s.dr_rows.items(), key=lambda kv: kv[1][0]
+        ):
+            dr_parts.append(
+                self._pad(dr[name].reshape(B, n), B, Bp)
+            )
+        to_t = lambda x: soa._to_tiles(self._pad(x, B, Bp), Bp)  # noqa: E731
+        return {
+            "q": to_t(state.pipeline_state.qpos),
+            "v": to_t(state.pipeline_state.qvel),
+            "env": to_t(env_rows),
+            "wrap": to_t(wrap),
+            "first": to_t(first),
+            "dr": soa._to_tiles(jnp.concatenate(dr_parts, axis=1), Bp),
+            "B": B,
+        }
+
+    def state_from_carry(self, carry, template, rng, last_noise, last_aux):
+        """Tile-layout carry -> State (mirrors pupper.step's epilogue +
+        wrapper info fields). ``template`` supplies the untouched leaves."""
+        es = self.es
+        B = carry["B"]
+        Bp = carry["q"].shape[1] * LANE
+        from_t = lambda x: soa._from_tiles(x, Bp)[:B]  # noqa: E731
+
+        qpos = from_t(carry["q"])
+        qvel = from_t(carry["v"])
+        env_b = from_t(carry["env"])
+        wrap_b = from_t(carry["wrap"])
+
+        def rows(name):
+            r0, n = es.env_rows[name]
+            return env_b[:, r0 : r0 + n]
+
+        def aux(name):
+            r0, n = self._aux_rows[name]
+            return last_aux[:, r0 : r0 + n]
+
+        info = dict(template.info)
+        info["rng"] = rng
+        info["action_buffer"] = rows("action_buffer").reshape(B, 12, es.Da)
+        info["imu_buffer"] = rows("imu_buffer").reshape(B, 6, es.Di)
+        info["command"] = rows("command")
+        info["desired_world_z_in_body_frame"] = rows("desired_z")
+        info["last_act"] = rows("last_act")
+        info["last_vel"] = rows("last_vel")
+        info["feet_air_time"] = rows("feet_air_time")
+        info["last_contact"] = rows("last_contact") > 0.5
+        info["step"] = rows("step")[:, 0].astype(jnp.int32)
+        info["steps"] = wrap_b[:, 0]
+        info["truncation"] = aux("truncation")[:, 0]
+        info["kick"] = last_noise
+        info["rewards"] = {
+            k: aux("rewards")[:, i]
+            for i, k in enumerate(soa_env.REWARD_ORDER)
+        }
+        metrics = dict(template.metrics)
+        metrics["total_dist"] = aux("total_dist")[:, 0]
+        metrics.update(info["rewards"])
+
+        pipeline_state = template.pipeline_state.replace(qpos=qpos, qvel=qvel)
+        return template.replace(
+            pipeline_state=pipeline_state,
+            obs=rows("obs_history"),
+            reward=aux("reward")[:, 0],
+            done=aux("done")[:, 0],
+            metrics=metrics,
+            info=info,
+        )
+
+    # ---- pre-drawn randomness ----------------------------------------------
+    def draw_noise_block(self, rngs, T: int, difficulty=None):
+        """Pre-draw every env-noise row for T steps on the per-env threefry
+        chains (bit-identical to T sequential `_draw_step_noise` calls).
+        Returns (new_rngs, (T, nnoise, Bp/LANE, LANE) tiles, last_kick)."""
+        env = self.env
+        es = self.es
+
+        def chain(k, _):
+            noise = env._draw_step_noise(k)
+            core = tuple(noise[kk] for kk in env._CORE_NOISE_KEYS)
+            return noise["rng"], core
+
+        new_rngs, cores = jax.vmap(
+            lambda k: jax.lax.scan(chain, k, (), length=T)
+        )(rngs)
+        noise_dict = dict(zip(env._CORE_NOISE_KEYS, cores))  # (B, T, n) each
+        if difficulty is not None:
+            d = difficulty[:, None, None]
+            for kk in (
+                "kick", "ang_vel_noise", "gravity_noise",
+                "motor_ang_noise", "last_action_noise",
+            ):
+                noise_dict[kk] = noise_dict[kk] * d
+        B, T_ = noise_dict["kick"].shape[:2]
+        parts = []
+        for name, (r0, n) in sorted(
+            es.noise_rows.items(), key=lambda kv: kv[1][0]
+        ):
+            parts.append(
+                noise_dict[name].astype(jnp.float32).reshape(B, T_, n)
+            )
+        flat = jnp.concatenate(parts, axis=2)  # (B, T, nnoise)
+        Bp = ((B + TILE_B - 1) // TILE_B) * TILE_B
+        if Bp != B:
+            flat = jnp.pad(flat, [(0, Bp - B), (0, 0), (0, 0)], mode="edge")
+        tiles = jnp.transpose(flat, (1, 2, 0)).reshape(
+            T_, es.nnoise_rows, Bp // LANE, LANE
+        )
+        return new_rngs, tiles, noise_dict["kick"][:, -1, :]
+
+    # ---- policy in feature-major layout -------------------------------------
+    def policy_rows(self, normalizer, params, hidden_activation):
+        """Feature-major policy apply: obs tiles (obs, B/LANE, LANE) +
+        pre-drawn eps rows -> (action, raw_action, log_prob) rows. Matches
+        networks.make_inference_fn + NormalTanhDistribution exactly (same
+        reductions, transposed layout)."""
+        es = self.es
+        layers = []
+        pdict = params["params"]
+        for i in range(len(pdict)):
+            lp = pdict[f"hidden_{i}"]
+            layers.append((lp["kernel"], lp["bias"]))
+        act_n = self.env.action_size
+        min_std = 0.001
+        log2 = 0.6931471805599453
+
+        def apply(obs_t, eps_rows):
+            # obs_t: (obs_dim, Bp/LANE, LANE); eps_rows: (act_n, Bp/LANE, LANE)
+            shape = obs_t.shape
+            Bp = shape[1] * shape[2]
+            x = obs_t.reshape(es.hist, Bp)
+            if normalizer is not None:
+                x = (x - normalizer.mean[:, None]) / normalizer.std[:, None]
+            for i, (kernel, bias) in enumerate(layers):
+                x = kernel.T @ x + bias[:, None]
+                if i != len(layers) - 1:
+                    x = hidden_activation(x)
+            loc, scale_param = x[:act_n], x[act_n:]
+            scale = jax.nn.softplus(scale_param) + min_std
+            pre_tanh = loc + scale * eps_rows.reshape(act_n, Bp)
+            action = jnp.tanh(pre_tanh)
+            normal_lp = (
+                -0.5 * jnp.square((pre_tanh - loc) / scale)
+                - jnp.log(scale)
+                - 0.5 * jnp.log(2.0 * jnp.pi)
+            )
+            fldj = 2.0 * (log2 - pre_tanh - jax.nn.softplus(-2.0 * pre_tanh))
+            log_prob = jnp.sum(normal_lp - fldj, axis=0)  # (Bp,)
+            rs = lambda a: a.reshape(act_n, shape[1], shape[2])  # noqa: E731
+            return rs(action), rs(pre_tanh), log_prob.reshape(shape[1], shape[2])
+
+        return apply
+
+    # ---- the unroll ----------------------------------------------------------
+    def unroll(self, state, policy_params, key, T: int,
+               hidden_activation, difficulty=None):
+        """Fast-lane equivalent of acting.generate_unroll: T policy steps,
+        returns (final State, Transition stack). ``policy_params`` is the
+        (normalizer_state, flax policy params) tuple."""
+        normalizer, params = policy_params
+        es = self.es
+        carry0 = self.carry_from_state(state)
+        B, Bp = carry0["B"], carry0["q"].shape[1] * LANE
+
+        rngs = state.info["rng"]
+        new_rngs, noise_tiles, last_kick = self.draw_noise_block(
+            rngs, T, difficulty
+        )
+
+        # policy sampling eps: same key chain + draw shape as
+        # acting.generate_unroll (per step: current, next = split(key);
+        # the policy samples normal(current, (B, act)))
+        def key_step(k, _):
+            cur, nxt = jax.random.split(k)
+            return nxt, cur
+
+        _, used_keys = jax.lax.scan(key_step, key, (), length=T)
+        eps = jax.vmap(
+            lambda kk: jax.random.normal(
+                kk, (B, self.env.action_size), jnp.float32
+            )
+        )(used_keys)  # (T, B, act)
+        if Bp != B:
+            eps = jnp.pad(eps, [(0, 0), (0, Bp - B), (0, 0)], mode="edge")
+        eps_tiles = jnp.transpose(eps, (0, 2, 1)).reshape(
+            T, self.env.action_size, Bp // LANE, LANE
+        )
+
+        papply = self.policy_rows(normalizer, params, hidden_activation)
+        obs_r0, obs_n = es.env_rows["obs_history"]
+        first_t, dr_t = carry0["first"], carry0["dr"]
+
+        def body(carry, xs):
+            noise_t, eps_t = xs
+            q_t, v_t, env_t, wrap_t = carry
+            obs_t = env_t[obs_r0 : obs_r0 + obs_n]
+            act_t, raw_t, logp_t = papply(obs_t, eps_t)
+            q2, v2, env2, wrap2, aux = self._step_tiles(
+                q_t, v_t, act_t, env_t, noise_t, dr_t, first_t, wrap_t
+            )
+            return (q2, v2, env2, wrap2), (obs_t, act_t, raw_t, logp_t, aux)
+
+        carry_t = (carry0["q"], carry0["v"], carry0["env"], carry0["wrap"])
+        if self._mode == "xla":
+            # test/oracle mode: a Python loop keeps the huge emission out
+            # of lax.scan so it can run EAGERLY op-by-op (XLA cannot
+            # affordably compile the ~100k-op step program on CPU — same
+            # reason tests/test_soa_env.py evaluates host-side)
+            ys_list = []
+            for t in range(T):
+                carry_t, y = body(carry_t, (noise_tiles[t], eps_tiles[t]))
+                ys_list.append(y)
+            ys = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *ys_list
+            )
+        else:
+            carry_t, ys = jax.lax.scan(
+                body, carry_t, (noise_tiles, eps_tiles), length=T
+            )
+        q_f, v_f, env_f, wrap_f = carry_t
+        carry = dict(carry0, q=q_f, v=v_f, env=env_f, wrap=wrap_f)
+        obs_ts, act_ts, raw_ts, logp_ts, aux_ts = ys
+
+        # transition assembly: one relayout per field per unroll
+        def t_rows(x):  # (T, rows, Bp/LANE, LANE) -> (T, B, rows)
+            Tn, rows = x.shape[0], x.shape[1]
+            return jnp.transpose(x.reshape(Tn, rows, Bp), (0, 2, 1))[:, :B]
+
+        observation = t_rows(obs_ts)
+        final_obs = t_rows(
+            carry["env"][None, obs_r0 : obs_r0 + obs_n]
+        )
+        next_observation = jnp.concatenate([observation[1:], final_obs], axis=0)
+        action = t_rows(act_ts)
+        raw_action = t_rows(raw_ts)
+        log_prob = logp_ts.reshape(T, Bp)[:, :B]
+        aux_b = t_rows(aux_ts)  # (T, B, naux)
+
+        def aux_col(name):
+            r0, n = self._aux_rows[name]
+            return aux_b[:, :, r0 : r0 + n]
+
+        reward = aux_col("reward")[:, :, 0]
+        done = aux_col("done")[:, :, 0]
+        truncation = aux_col("truncation")[:, :, 0]
+
+        final_state = self.state_from_carry(
+            carry, state, new_rngs, last_kick, aux_b[-1]
+        )
+        data = Transition(
+            observation=observation,
+            action=action,
+            reward=reward,
+            discount=1.0 - done,
+            next_observation=next_observation,
+            truncation=truncation,
+            policy_extras={"log_prob": log_prob, "raw_action": raw_action},
+            metrics={},
+            extras={},
+        )
+        return final_state, data

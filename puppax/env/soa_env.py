@@ -700,3 +700,287 @@ def make_batched_core(env, base_model, mj_model, n_substeps, host_consts):
     core._s = s  # exposed for the emitter-parity tests
     core._es = es
     return core
+
+
+# ---------------------------------------------------------------------------
+# wrapped-lane kernel: env step + episode bookkeeping + auto-reset fused
+# (consumed by puppax/env/rollout.py — the tiles-resident rollout fast lane)
+# ---------------------------------------------------------------------------
+
+# aux output rows: per-step training signals (everything the PPO rollout
+# consumes that is not part of the carried env state)
+AUX_ROWS = ("reward", "done", "truncation", "rewards", "total_dist")
+
+
+def aux_row_map(es: _EnvStatic) -> Dict[str, Tuple[int, int]]:
+    """Row map for the wrapped kernel's aux output block."""
+    out: Dict[str, Tuple[int, int]] = {}
+    r = 0
+    for name, n in (
+        ("reward", 1),
+        ("done", 1),
+        ("truncation", 1),
+        ("rewards", len(REWARD_ORDER)),
+        ("total_dist", 1),
+    ):
+        out[name] = (r, n)
+        r += n
+    return out
+
+
+def _sel(mask, a, b, ref):
+    """where(mask > 0.5, a, b) over algebra values."""
+    return jnp.where(_mat(mask, ref) > 0.5, _mat(a, ref), _mat(b, ref))
+
+
+def _emit_wrapped_step(
+    s: soa._Static,
+    es: _EnvStatic,
+    q: List,
+    v: List,
+    act: List,
+    env: Dict[str, List],
+    noi: Dict[str, List],
+    dr: Dict[str, List],
+    first_q: List,
+    first_v: List,
+    first_obs: List,
+    steps,
+    prev_done,
+    n_substeps: int,
+    episode_length: int,
+):
+    """Emit one WRAPPED env step: the step core plus the Episode/AutoReset
+    wrapper algebra (puppax/env/wrappers.py:56-166 semantics, brax order):
+
+      steps_in = where(prev_done, 0, steps)          # AutoReset prologue
+      ...env step core (kick/latency/physics/obs/rewards/termination)...
+      steps2  = steps_in + 1                          # EpisodeWrapper
+      done2   = env_done OR steps2 >= episode_length
+      trunc   = (steps2 >= L) * (1 - env_done)
+      q/v/obs = where(done2, first_*, new)            # AutoReset restore
+
+    Returns (q_out, v_out, env_out_rows_in_INPUT_order, steps2, done2, aux)
+    so the env-state block round-trips through the kernel unchanged in
+    layout — the scan carry needs no per-step row shuffling.
+    """
+    ref = _mat(q[0], None) if not isinstance(q[0], (int, float)) else q[0]
+
+    steps_in = _sel(prev_done, 0.0, steps, ref)
+
+    q2, v2, fw, out = _emit_env_step(s, es, q, v, act, env, noi, dr, n_substeps)
+    env_done = out["done"][0]
+
+    steps2 = add(steps_in, 1.0)
+    # steps2 >= L  (steps are exact small integers in f32)
+    trunc_flag = _lt(float(episode_length) - 0.5, steps2, ref)
+    done2 = _or(_mat(env_done, ref), trunc_flag)
+    truncation = mul(trunc_flag, sub(1.0, env_done))
+
+    q_out = [_sel(done2, first_q[i], q2[i], ref) for i in range(s.nq)]
+    v_out = [_sel(done2, first_v[i], v2[i], ref) for i in range(s.nv)]
+    obs_out = [
+        _sel(done2, first_obs[i], out["obs_history"][i], ref)
+        for i in range(es.hist)
+    ]
+
+    # env-state output in env_rows INPUT order (the rollout carry layout).
+    # last_act/last_vel are updated here because the fast lane has no
+    # XLA-side step() epilogue (pupper.py:729-731): last_act is the raw
+    # action, last_vel the PRE-restore joint velocity — both exactly the
+    # standard lane's values (the wrapper only restores qpos/qvel/obs).
+    env_out: Dict[str, List] = {
+        "action_buffer": out["action_buffer"],
+        "imu_buffer": out["imu_buffer"],
+        "command": out["command"],
+        "desired_z": out["desired_z"],
+        "last_act": list(act),
+        "last_vel": [v2[6 + j] for j in range(12)],
+        "feet_air_time": out["feet_air_time"],
+        "last_contact": out["last_contact"],
+        "step": out["step"],
+        "obs_history": obs_out,
+    }
+
+    aux = {
+        "reward": out["reward"],
+        "done": [done2],
+        "truncation": [truncation],
+        "rewards": out["rewards"],
+        "total_dist": out["total_dist"],
+    }
+    return q_out, v_out, env_out, steps2, done2, aux
+
+
+def _build_wrapped_kernel(
+    s: soa._Static, es: _EnvStatic, n_substeps: int, episode_length: int
+):
+    """Kernel: (q, v, act, env, noise, dr, first, wrap) ->
+    (q', v', env', wrap', aux). No physics-cache emission — the training
+    rollout consumes only the carried state and the aux rows."""
+    nfirst = s.nq + s.nv + es.hist
+    aux_rows = aux_row_map(es)
+    naux = sum(n for _, n in aux_rows.values())
+
+    def kernel(
+        q_ref, v_ref, act_ref, env_ref, noi_ref, dr_ref, first_ref, wrap_ref,
+        qout_ref, vout_ref, envout_ref, wrapout_ref, auxout_ref,
+    ):
+        q = [q_ref[i] for i in range(s.nq)]
+        v = [v_ref[i] for i in range(s.nv)]
+        act = [act_ref[i] for i in range(s.nu)]
+        env = {
+            name: [env_ref[r0 + i] for i in range(n)]
+            for name, (r0, n) in es.env_rows.items()
+        }
+        noi = {
+            name: [noi_ref[r0 + i] for i in range(n)]
+            for name, (r0, n) in es.noise_rows.items()
+        }
+        dr = {
+            name: [dr_ref[r0 + i] for i in range(n)]
+            for name, (r0, n) in s.dr_rows.items()
+        }
+        first_q = [first_ref[i] for i in range(s.nq)]
+        first_v = [first_ref[s.nq + i] for i in range(s.nv)]
+        first_obs = [first_ref[s.nq + s.nv + i] for i in range(es.hist)]
+        steps = wrap_ref[0]
+        prev_done = wrap_ref[1]
+        ref = q[0]
+
+        q_out, v_out, env_out, steps2, done2, aux = _emit_wrapped_step(
+            s, es, q, v, act, env, noi, dr, first_q, first_v, first_obs,
+            steps, prev_done, n_substeps, episode_length,
+        )
+
+        for i in range(s.nq):
+            qout_ref[i] = materialize(q_out[i], ref)
+        for i in range(s.nv):
+            vout_ref[i] = materialize(v_out[i], ref)
+        for name, (r0, n) in es.env_rows.items():
+            vals = env_out[name]
+            assert len(vals) == n, (name, len(vals), n)
+            for i in range(n):
+                envout_ref[r0 + i] = materialize(vals[i], ref)
+        wrapout_ref[0] = materialize(steps2, ref)
+        wrapout_ref[1] = materialize(done2, ref)
+        for name, (r0, n) in aux_rows.items():
+            vals = aux[name]
+            assert len(vals) == n, (name, len(vals), n)
+            for i in range(n):
+                auxout_ref[r0 + i] = materialize(vals[i], ref)
+
+    kernel._nfirst = nfirst
+    kernel._naux = naux
+    return kernel
+
+
+def wrapped_step_rows_xla(
+    s: soa._Static,
+    es: _EnvStatic,
+    n_substeps: int,
+    episode_length: int,
+    q_t, v_t, act_t, env_t, noi_t, dr_t, first_t, wrap_t,
+):
+    """Pure-XLA evaluation of the wrapped-step emission on flat (Bp,)
+    batch values — the SAME program `_build_wrapped_kernel` lowers to
+    pallas, run as ordinary XLA ops (the value algebra is shape-agnostic).
+    Used as the fast lane's non-TPU execution mode and as the CPU test
+    oracle for the kernel path (tests/test_rollout.py)."""
+    shape = q_t.shape  # (rows, Bp/LANE, LANE) or (rows, B)
+    Bp = int(np.prod(shape[1:]))
+
+    def rows(x):
+        return [x[i].reshape(Bp) for i in range(x.shape[0])]
+
+    q, v, act = rows(q_t), rows(v_t), rows(act_t)
+    env_r, noi_r, dr_r, first_r = rows(env_t), rows(noi_t), rows(dr_t), rows(first_t)
+    env = {
+        name: [env_r[r0 + i] for i in range(n)]
+        for name, (r0, n) in es.env_rows.items()
+    }
+    noi = {
+        name: [noi_r[r0 + i] for i in range(n)]
+        for name, (r0, n) in es.noise_rows.items()
+    }
+    dr = {
+        name: [dr_r[r0 + i] for i in range(n)]
+        for name, (r0, n) in s.dr_rows.items()
+    }
+    first_q = first_r[: s.nq]
+    first_v = first_r[s.nq : s.nq + s.nv]
+    first_obs = first_r[s.nq + s.nv :]
+    wrap_r = rows(wrap_t)
+    ref = q[0]
+
+    q_out, v_out, env_out, steps2, done2, aux = _emit_wrapped_step(
+        s, es, q, v, act, env, noi, dr, first_q, first_v, first_obs,
+        wrap_r[0], wrap_r[1], n_substeps, episode_length,
+    )
+
+    def stack(vals):
+        return jnp.stack(
+            [materialize(x, ref) for x in vals]
+        ).reshape((len(vals),) + shape[1:])
+
+    aux_rows = aux_row_map(es)
+    env_flat = []
+    for name, (r0, n) in sorted(es.env_rows.items(), key=lambda kv: kv[1][0]):
+        env_flat.extend(env_out[name])
+    aux_flat = []
+    for name, (r0, n) in sorted(aux_rows.items(), key=lambda kv: kv[1][0]):
+        aux_flat.extend(aux[name])
+    return (
+        stack(q_out), stack(v_out), stack(env_flat),
+        stack([steps2, done2]), stack(aux_flat),
+    )
+
+
+def wrapped_step_tiles(
+    s: soa._Static,
+    es: _EnvStatic,
+    kernel,
+    q_t: jnp.ndarray,  # (nq, Bp/LANE, LANE)
+    v_t: jnp.ndarray,
+    act_t: jnp.ndarray,  # (nu, Bp/LANE, LANE)
+    env_t: jnp.ndarray,  # (nenv_rows, Bp/LANE, LANE)
+    noi_t: jnp.ndarray,  # (nnoise_rows, Bp/LANE, LANE)
+    dr_t: jnp.ndarray,  # (ndr, Bp/LANE, LANE)
+    first_t: jnp.ndarray,  # (nq+nv+hist, Bp/LANE, LANE)
+    wrap_t: jnp.ndarray,  # (2, Bp/LANE, LANE)
+    interpret: bool = False,
+):
+    """One wrapped env step on already-tiled rows. All inputs/outputs stay
+    in the (rows, B/LANE, LANE) tile layout — zero relayouts per step."""
+    Bp = q_t.shape[1] * LANE
+    nb = Bp // TILE_B
+    dtype = jnp.float32
+
+    def spec(rows):
+        return pl.BlockSpec(
+            (rows, SUB, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+
+    def shape(rows):
+        return jax.ShapeDtypeStruct((rows, Bp // LANE, LANE), dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            spec(s.nq), spec(s.nv), spec(s.nu), spec(es.nenv_rows),
+            spec(es.nnoise_rows), spec(s.ndr), spec(kernel._nfirst), spec(2),
+        ],
+        out_specs=[
+            spec(s.nq), spec(s.nv), spec(es.nenv_rows), spec(2),
+            spec(kernel._naux),
+        ],
+        out_shape=[
+            shape(s.nq), shape(s.nv), shape(es.nenv_rows), shape(2),
+            shape(kernel._naux),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(q_t, v_t, act_t, env_t, noi_t, dr_t, first_t, wrap_t)

@@ -68,6 +68,12 @@ class PPONetworks:
     policy_network: FeedForwardNetwork = struct.field(pytree_node=False)
     value_network: FeedForwardNetwork = struct.field(pytree_node=False)
     action_distribution: NormalTanhDistribution = struct.field(pytree_node=False)
+    # the raw hidden activation fn (the rollout fast lane re-applies the
+    # policy MLP in feature-major layout and needs it explicitly;
+    # puppax/env/rollout.py)
+    policy_activation: ActivationFn = struct.field(
+        pytree_node=False, default=nn.swish
+    )
 
 
 def _make_network(
@@ -128,6 +134,7 @@ def make_ppo_networks(
         policy_network=policy_network,
         value_network=value_network,
         action_distribution=dist,
+        policy_activation=activation,
     )
 
 

@@ -218,6 +218,16 @@ def train(
     obs_size = environment.observation_size
     action_size = environment.action_size
 
+    # rollout fast lane: tiles-resident unroll with the wrapped env kernel
+    # (puppax/env/rollout.py). Single-device only for now — the pallas
+    # call is not yet shard_map-wrapped for a partitioned env batch; the
+    # multi-device mesh keeps the standard vmap lane.
+    from puppax.env import rollout as rollout_lib
+
+    fast_lane = None
+    if num_devices == 1 and rollout_lib.supported(env):
+        fast_lane = rollout_lib.FastLane(env)
+
     # --- networks + optimizer -------------------------------------------
     if privileged_critic:
         assert getattr(environment, "_privileged_obs", False), (
@@ -425,9 +435,23 @@ def train(
         def roll(carry_, _unused):
             state, k = carry_
             k, k_unroll = jax.random.split(k)
-            next_state, data = acting.generate_unroll(
-                env, state, policy, k_unroll, unroll_length
-            )
+            if fast_lane is not None:
+                next_state, data = fast_lane.unroll(
+                    state,
+                    (
+                        training_state.normalizer_params
+                        if normalize_observations else None,
+                        training_state.params.policy,
+                    ),
+                    k_unroll,
+                    unroll_length,
+                    ppo_network.policy_activation,
+                    difficulty=state.info.get("difficulty"),
+                )
+            else:
+                next_state, data = acting.generate_unroll(
+                    env, state, policy, k_unroll, unroll_length
+                )
             return (next_state, k), data
 
         (env_state, _), data = jax.lax.scan(

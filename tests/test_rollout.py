@@ -1,0 +1,275 @@
+"""Rollout fast lane (puppax/env/rollout.py): standard-lane parity.
+
+Strategy mirrors tests/test_soa_env.py: the pallas LOWERING is covered by
+the tpu-marked on-device leg; CPU tests validate every piece of the lane
+against the standard `AutoReset(Vmap(Episode(env)))` +
+``acting.generate_unroll`` stack — the pre-drawn noise streams (exact),
+the feature-major policy apply (fp-tolerance), and the full unroll with
+the kernel program evaluated as plain XLA ops (`wrapped_step_rows_xla` —
+the same emission the kernel lowers).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from puppax.configs import get_config
+from puppax.env import PupperV3Env, rollout, wrappers
+from puppax.train import acting, networks as ppo_networks, running_statistics
+
+B = 8
+T = 4
+EPISODE_LENGTH = 50
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # default PUPPAX_SOA_ENV=auto: the env still builds the _cv_core the
+    # fast lane introspects, while the standard reference lane keeps the
+    # XLA fallback on CPU (mode 'force' would push the reference onto the
+    # pallas kernel, which CPU can only interpret)
+    # one physics substep: the xla-rows emission compiles/evals quickly
+    env = PupperV3Env(
+        path=None,
+        reward_config=get_config(),
+        action_scale=0.75,
+        observation_history=2,
+        maximum_pitch_command=10.0,
+        maximum_roll_command=10.0,
+        environment_timestep=0.004,
+        physics_timestep=0.004,
+    )
+    wrapped = wrappers.wrap_for_training(env, episode_length=EPISODE_LENGTH)
+
+    nets = ppo_networks.make_ppo_networks(
+        env.observation_size, env.action_size,
+        policy_hidden_layer_sizes=(32, 32),
+        activation=jax.nn.elu,
+    )
+    pkey = jax.random.PRNGKey(7)
+    policy_params = nets.policy_network.init(pkey)
+    normalizer = running_statistics.init_state(env.observation_size)
+    # non-trivial normalizer so folding bugs show
+    normalizer = normalizer.replace(
+        mean=jnp.linspace(-0.1, 0.1, env.observation_size),
+        std=jnp.linspace(0.9, 1.1, env.observation_size),
+    )
+    return env, wrapped, nets, policy_params, normalizer
+
+
+def _reset(wrapped):
+    rngs = jax.random.split(jax.random.PRNGKey(3), B)
+    return jax.jit(wrapped.reset)(rngs)
+
+
+def test_supported_gating(setup, monkeypatch):
+    env, wrapped, *_ = setup
+    monkeypatch.setenv("PUPPAX_SOA_ENV", "force")
+    assert rollout.supported(wrapped)
+    assert not rollout.supported(wrapped, collect_metrics=True)
+    assert not rollout.supported(env)  # unwrapped
+    monkeypatch.setenv("PUPPAX_FAST_LANE", "off")
+    assert not rollout.supported(wrapped)
+    monkeypatch.setenv("PUPPAX_FAST_LANE", "auto")
+    monkeypatch.setenv("PUPPAX_SOA_ENV", "auto")
+    # CPU backend + auto mode -> production gate closed
+    assert not rollout.supported(wrapped)
+
+
+def test_noise_block_matches_sequential(setup):
+    """draw_noise_block == T sequential vmapped _draw_step_noise calls,
+    bit-exact, and the carried rng chain advances identically."""
+    env, wrapped, *_ = setup
+    fl = rollout.FastLane(wrapped, mode="xla")
+    state = _reset(wrapped)
+    rngs = state.info["rng"]
+
+    new_rngs, tiles, last_kick = fl.draw_noise_block(rngs, T)
+
+    # sequential reference
+    k = rngs
+    seq = []
+    for _ in range(T):
+        noise = jax.vmap(env._draw_step_noise)(k)
+        k = noise["rng"]
+        seq.append(noise)
+    np.testing.assert_array_equal(np.asarray(new_rngs), np.asarray(k))
+    np.testing.assert_array_equal(
+        np.asarray(last_kick), np.asarray(seq[-1]["kick"])
+    )
+
+    es = fl.es
+    Bp = tiles.shape[2] * tiles.shape[3]
+    flat = np.asarray(tiles).reshape(T, es.nnoise_rows, Bp)[:, :, :B]
+    for name, (r0, n) in es.noise_rows.items():
+        for t in range(T):
+            # same threefry chain — but trig/normalize ops may fuse
+            # differently under the block jit vs per-step eager calls, so
+            # transcendental-derived values carry ~1-ulp noise
+            np.testing.assert_allclose(
+                flat[t, r0 : r0 + n].T,
+                np.asarray(seq[t][name]).reshape(B, n),
+                atol=1e-6,
+                err_msg=f"{name} t={t}",
+            )
+
+
+def test_policy_rows_matches_flax(setup):
+    """Feature-major policy apply == make_policy closure (same eps)."""
+    env, wrapped, nets, policy_params, normalizer = setup
+    fl = rollout.FastLane(wrapped, mode="xla")
+    obs_dim = env.observation_size
+    rng = np.random.RandomState(0)
+    obs = jnp.asarray(rng.uniform(-1, 1, (B, obs_dim)), jnp.float32)
+    eps = jnp.asarray(rng.normal(0, 1, (B, env.action_size)), jnp.float32)
+
+    # reference: the standard inference path with the SAME eps (reproduce
+    # sample_no_postprocessing manually)
+    logits = nets.policy_network.apply(normalizer, policy_params, obs)
+    dist = nets.action_distribution
+    loc, scale = jnp.split(logits, 2, axis=-1)
+    scale = jax.nn.softplus(scale) + 0.001
+    pre_ref = loc + scale * eps
+    act_ref = jnp.tanh(pre_ref)
+    lp_ref = dist.log_prob(logits, pre_ref)
+
+    # fast lane rows apply on padded tiles
+    Bp = rollout.TILE_B
+    obs_p = jnp.pad(obs, [(0, Bp - B), (0, 0)], mode="edge")
+    eps_p = jnp.pad(eps, [(0, Bp - B), (0, 0)], mode="edge")
+    obs_t = obs_p.T.reshape(obs_dim, Bp // rollout.LANE, rollout.LANE)
+    eps_t = eps_p.T.reshape(env.action_size, Bp // rollout.LANE, rollout.LANE)
+    papply = fl.policy_rows(normalizer, policy_params, jax.nn.elu)
+    act_t, raw_t, lp_t = papply(obs_t, eps_t)
+
+    act = np.asarray(act_t.reshape(env.action_size, Bp)).T[:B]
+    raw = np.asarray(raw_t.reshape(env.action_size, Bp)).T[:B]
+    lp = np.asarray(lp_t.reshape(Bp))[:B]
+    np.testing.assert_allclose(act, np.asarray(act_ref), atol=1e-6)
+    np.testing.assert_allclose(raw, np.asarray(pre_ref), atol=1e-6)
+    np.testing.assert_allclose(lp, np.asarray(lp_ref), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_fast_unroll_matches_generate_unroll(setup):
+    """Full fast-lane unroll (xla-rows emission — the kernel's program as
+    plain XLA) vs the standard lane, same key: transitions + final state.
+
+    Policy matmul layouts differ (feature-major vs batch-major), so
+    actions carry ~1e-7 fp noise into the physics — comparisons use small
+    tolerances rather than bit equality."""
+    env, wrapped, nets, policy_params, normalizer = setup
+    fl = rollout.FastLane(wrapped, mode="xla")
+    state = _reset(wrapped)
+    key = jax.random.PRNGKey(11)
+
+    policy = ppo_networks.make_inference_fn(nets)((normalizer, policy_params))
+    ref_final, ref_data = jax.jit(
+        lambda s, k: acting.generate_unroll(wrapped, s, policy, k, T)
+    )(state, key)
+
+    # NOT jitted: xla-rows mode runs the emission eagerly (compiling the
+    # ~100k-op step program is infeasible on CPU)
+    got_final, got_data = fl.unroll(
+        state, (normalizer, policy_params), key, T, jax.nn.elu
+    )
+
+    atol = 2e-4
+    np.testing.assert_allclose(
+        np.asarray(got_data.observation), np.asarray(ref_data.observation),
+        atol=atol, err_msg="observation",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_data.next_observation),
+        np.asarray(ref_data.next_observation), atol=atol,
+        err_msg="next_observation",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_data.action), np.asarray(ref_data.action), atol=atol
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_data.policy_extras["raw_action"]),
+        np.asarray(ref_data.policy_extras["raw_action"]), atol=atol,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_data.policy_extras["log_prob"]),
+        np.asarray(ref_data.policy_extras["log_prob"]), atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_data.reward), np.asarray(ref_data.reward), atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_data.discount), np.asarray(ref_data.discount)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_data.truncation), np.asarray(ref_data.truncation)
+    )
+
+    # final state round-trip
+    np.testing.assert_allclose(
+        np.asarray(got_final.pipeline_state.qpos),
+        np.asarray(ref_final.pipeline_state.qpos), atol=atol,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_final.obs), np.asarray(ref_final.obs), atol=atol
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_final.done), np.asarray(ref_final.done)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_final.info["rng"]), np.asarray(ref_final.info["rng"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_final.info["steps"]), np.asarray(ref_final.info["steps"])
+    )
+    for name in ("command", "feet_air_time", "last_act", "last_vel"):
+        np.testing.assert_allclose(
+            np.asarray(got_final.info[name]), np.asarray(ref_final.info[name]),
+            atol=atol, err_msg=name,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(got_final.info["step"]), np.asarray(ref_final.info["step"])
+    )
+
+
+@pytest.mark.slow
+def test_fast_unroll_through_episode_reset(setup):
+    """Auto-reset + truncation mid-unroll: run T past the episode horizon
+    and require the fast lane to reproduce the standard lane's restore."""
+    env, wrapped_long, nets, policy_params, normalizer = setup
+    short = wrappers.wrap_for_training(env, episode_length=3)
+    fl = rollout.FastLane(short, mode="xla")
+    state = _reset(short)
+    key = jax.random.PRNGKey(5)
+    policy = ppo_networks.make_inference_fn(nets)((normalizer, policy_params))
+
+    ref_final, ref_data = jax.jit(
+        lambda s, k: acting.generate_unroll(short, s, policy, k, 5)
+    )(state, key)
+    got_final, got_data = fl.unroll(
+        state, (normalizer, policy_params), key, 5, jax.nn.elu
+    )
+
+    # the horizon fires at step 3 for every env
+    np.testing.assert_array_equal(
+        np.asarray(got_data.discount), np.asarray(ref_data.discount)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_data.truncation), np.asarray(ref_data.truncation)
+    )
+    assert np.asarray(ref_data.truncation)[2].max() == 1.0
+    np.testing.assert_allclose(
+        np.asarray(got_data.observation), np.asarray(ref_data.observation),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_final.pipeline_state.qpos),
+        np.asarray(ref_final.pipeline_state.qpos), atol=2e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_final.info["steps"]),
+        np.asarray(ref_final.info["steps"]),
+    )
