@@ -49,11 +49,18 @@ def domain_randomize(
 
     @jax.vmap
     def rand(rng):
+        # model leaves are host numpy (mjcf.put_model.arr) — lift the ones
+        # edited with .at[] to jnp inside the trace (free: becomes a
+        # jaxpr constant, no device round-trip)
+        geom_friction0 = jnp.asarray(model.geom_friction)
+        gainprm0 = jnp.asarray(model.actuator_gainprm)
+        biasprm0 = jnp.asarray(model.actuator_biasprm)
+        body_ipos0 = jnp.asarray(model.body_ipos)
         rng, key = jax.random.split(rng, 2)
         friction_val = jax.random.uniform(
             key, (1,), minval=friction_range[0], maxval=friction_range[1]
         )
-        geom_friction = model.geom_friction.at[:, 0].set(friction_val)
+        geom_friction = geom_friction0.at[:, 0].set(friction_val)
 
         rng, key_kp, key_kd = jax.random.split(rng, 3)
         kp = (
@@ -65,8 +72,8 @@ def domain_randomize(
         kd = jax.random.uniform(
             key_kd, (1,), minval=kd_multiplier_range[0], maxval=kd_multiplier_range[1]
         ) * (-model.actuator_biasprm[:, 2])
-        gain = model.actuator_gainprm.at[:, 0].set(kp)
-        bias = model.actuator_biasprm.at[:, 1].set(-kp).at[:, 2].set(-kd)
+        gain = gainprm0.at[:, 0].set(kp)
+        bias = biasprm0.at[:, 1].set(-kp).at[:, 2].set(-kd)
 
         rng, key_com = jax.random.split(rng)
         com_shift = jax.random.uniform(
@@ -87,7 +94,7 @@ def domain_randomize(
                 ]
             ),
         )
-        body_ipos = model.body_ipos.at[1].set(model.body_ipos[1] + com_shift)
+        body_ipos = body_ipos0.at[1].set(body_ipos0[1] + com_shift)
 
         rng, key_inertia = jax.random.split(rng)
         inertia_scale = jax.random.uniform(
@@ -176,6 +183,7 @@ def randomize_qpos(
     """Randomize free-joint xyz within the box + uniform yaw (reference
     domain_randomization.py:188-210; same split order for seed-parity)."""
     rng, key_pos, key_yaw = jax.random.split(rng, 3)
+    qpos = jnp.asarray(qpos)  # host-numpy init_q -> traced constant
     qpos = qpos.at[:3].set(
         jax.random.uniform(
             key_pos,

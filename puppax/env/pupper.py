@@ -156,19 +156,23 @@ class PupperV3Env(Env):
         model = compiled.robot.tree_replace({"opt.timestep": physics_timestep})
         # actuator override for a smoother policy: PD with kp/kd
         # (reference environment.py:170-174)
+        # host-side numpy edits: model leaves must stay NUMPY so jit
+        # lowering never device-reads them (see mjcf.put_model.arr)
+        gainprm = np.array(model.actuator_gainprm)
+        gainprm[:, 0] = position_control_kp
+        biasprm = np.array(model.actuator_biasprm)
+        biasprm[:, 1] = -position_control_kp
+        biasprm[:, 2] = -dof_damping
         model = model.replace(
-            actuator_gainprm=model.actuator_gainprm.at[:, 0].set(position_control_kp),
-            actuator_biasprm=model.actuator_biasprm.at[:, 1]
-            .set(-position_control_kp)
-            .at[:, 2]
-            .set(-dof_damping),
+            actuator_gainprm=gainprm, actuator_biasprm=biasprm
         )
         self._dt = environment_timestep  # 50 Hz control
         self._n_substeps = int(environment_timestep / physics_timestep)
 
         # init pose: home keyframe with joints at default_pose
         # (reference environment.py:176-177,192)
-        init_q = model.key_qpos.at[7:].set(jnp.asarray(default_pose, dtype))
+        init_q = np.array(model.key_qpos)
+        init_q[7:] = np.asarray(default_pose, dtype)
         model = model.replace(key_qpos=init_q)
         self.model = model
 
@@ -178,17 +182,21 @@ class PupperV3Env(Env):
             self.mj_model, mujoco.mjtObj.mjOBJ_BODY.value, torso_name
         )
         assert self._torso_idx != -1, "torso not found"
-        self._action_scale = jnp.asarray(action_scale, dtype)
+        # ctor constants stay NUMPY (host): they are closed over by every
+        # jitted step/reset, and captured DEVICE arrays would be read back
+        # at lowering time — the tunneled-TPU degradation trap (see
+        # mjcf.put_model.arr)
+        self._action_scale = np.asarray(action_scale, dtype)
         self._angular_velocity_noise = angular_velocity_noise
         self._gravity_noise = gravity_noise
         self._motor_angle_noise = motor_angle_noise
         self._last_action_noise = last_action_noise
         self._kick_vel = kick_vel
         self._init_q = init_q
-        self._default_pose = jnp.asarray(default_pose, dtype)
-        self._desired_abduction_angles = jnp.asarray(desired_abduction_angles, dtype)
-        self.lowers = jnp.asarray(joint_lower_limits, dtype)
-        self.uppers = jnp.asarray(joint_upper_limits, dtype)
+        self._default_pose = np.asarray(default_pose, dtype)
+        self._desired_abduction_angles = np.asarray(desired_abduction_angles, dtype)
+        self.lowers = np.asarray(joint_lower_limits, dtype)
+        self.uppers = np.asarray(joint_upper_limits, dtype)
 
         feet_site_id = [
             mujoco.mj_name2id(self.mj_model, mujoco.mjtObj.mjOBJ_SITE.value, f)
@@ -220,11 +228,11 @@ class PupperV3Env(Env):
         self._early_termination_step_threshold = early_termination_step_threshold
         self._terminal_body_z = terminal_body_z
         self._terminal_body_angle = terminal_body_angle
-        self._desired_world_z_in_body_frame = jnp.asarray(
+        self._desired_world_z_in_body_frame = np.asarray(
             desired_world_z_in_body_frame, dtype
         )
-        self._latency_distribution = jnp.asarray(latency_distribution, dtype)
-        self._imu_latency_distribution = jnp.asarray(imu_latency_distribution, dtype)
+        self._latency_distribution = np.asarray(latency_distribution, dtype)
+        self._imu_latency_distribution = np.asarray(imu_latency_distribution, dtype)
         self._use_imu = use_imu
         self._privileged_obs = privileged_obs
         self._gait_phase_obs = gait_phase_observation

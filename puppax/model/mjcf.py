@@ -254,7 +254,14 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> RobotModel:
         raise NotImplementedError("at most one heightfield supported")
 
     def arr(x):
-        return jnp.asarray(np.asarray(x), dtype=dtype)
+        # HOST numpy, not device arrays: model leaves are closed over as
+        # jit constants, and lowering a captured DEVICE array embeds it as
+        # an HLO literal via a device->host read — on the tunneled TPU one
+        # such read permanently degrades the process's dispatch latency by
+        # ~27 ms per host sync (measured r3, dev/probe_degradation.py).
+        # numpy leaves lower to the same literals with zero device reads;
+        # inside jit the math is identical.
+        return np.asarray(np.asarray(x), dtype=dtype)
 
     return RobotModel(
         nq=int(m.nq),

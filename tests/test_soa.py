@@ -16,13 +16,31 @@ from puppax.model.mjcf import load_model
 from puppax.physics import pipeline, soa
 
 
+def _pd_gain(m, kp):
+    """Host-numpy actuator-gain edit (model leaves are numpy now)."""
+    import numpy as _np
+
+    g = _np.array(m.actuator_gainprm)
+    g[:, 0] = kp
+    return g
+
+
+def _pd_bias(m, kp, kd):
+    import numpy as _np
+
+    b = _np.array(m.actuator_biasprm)
+    b[:, 1] = -kp
+    b[:, 2] = -kd
+    return b
+
+
 @pytest.fixture(scope="module")
 def model():
     cm = load_model(None)
     m = cm.robot.tree_replace({"opt.timestep": 0.004})
     return m.replace(
-        actuator_gainprm=m.actuator_gainprm.at[:, 0].set(5.0),
-        actuator_biasprm=m.actuator_biasprm.at[:, 1].set(-5.0).at[:, 2].set(-0.25),
+        actuator_gainprm=_pd_gain(m, 5.0),
+        actuator_biasprm=_pd_bias(m, 5.0, 0.25),
     )
 
 
@@ -93,8 +111,8 @@ def box_model():
     cm = load_model(None, xml_string=xml)
     m = cm.robot.tree_replace({"opt.timestep": 0.004})
     return m.replace(
-        actuator_gainprm=m.actuator_gainprm.at[:, 0].set(5.0),
-        actuator_biasprm=m.actuator_biasprm.at[:, 1].set(-5.0).at[:, 2].set(-0.25),
+        actuator_gainprm=_pd_gain(m, 5.0),
+        actuator_biasprm=_pd_bias(m, 5.0, 0.25),
     )
 
 
@@ -206,8 +224,8 @@ def hfield_model():
     cm = load_model(None, xml_string=xml)
     m = cm.robot.tree_replace({"opt.timestep": 0.004})
     return m.replace(
-        actuator_gainprm=m.actuator_gainprm.at[:, 0].set(5.0),
-        actuator_biasprm=m.actuator_biasprm.at[:, 1].set(-5.0).at[:, 2].set(-0.25),
+        actuator_gainprm=_pd_gain(m, 5.0),
+        actuator_biasprm=_pd_bias(m, 5.0, 0.25),
     )
 
 
@@ -343,8 +361,8 @@ def capsule_model():
     cm = load_model(None, xml_string=xml)
     m = cm.robot.tree_replace({"opt.timestep": 0.004})
     return m.replace(
-        actuator_gainprm=m.actuator_gainprm.at[:, 0].set(5.0),
-        actuator_biasprm=m.actuator_biasprm.at[:, 1].set(-5.0).at[:, 2].set(-0.25),
+        actuator_gainprm=_pd_gain(m, 5.0),
+        actuator_biasprm=_pd_bias(m, 5.0, 0.25),
     )
 
 
