@@ -24,7 +24,10 @@ for t in range(60):
         break
 else:
     print("no NaNs in 60 random-action steps at B=256")
-# single-step CPU-vs-TPU comparison
+# single-step CPU-vs-TPU comparison; the CPU re-trace must disable the
+# pallas splices (they key off the process default backend = tpu)
+import os
+os.environ["PUPPAX_SOA"] = "off"; os.environ["PUPPAX_SOA_ENV"] = "off"
 cpu = jax.devices('cpu')[0]
 s0 = reset(jax.random.split(jax.random.PRNGKey(0), 4))
 a0 = jnp.zeros((4, 12))

@@ -74,13 +74,13 @@ def supported(wrapped, collect_metrics: bool = False) -> bool:
     on_accel = jax.default_backend() in ("tpu", "axon")
     if not (mode in ("force", "interpret") or on_accel):
         return False
-    return (
-        getattr(env, "_use_soa_env", False)
-        and ep.action_repeat == 1
-        and not env._gait_phase_obs
-        and not env._privileged_obs
-        and not collect_metrics
-    )
+    if not getattr(env, "_use_soa_env", False):
+        return False
+    if env._privileged_obs and not getattr(env._cv_core._es, "priv", False):
+        # the kernel can't source this model's privileged DR rows
+        # (non-representable friction leaf — see soa_env._EnvStatic)
+        return False
+    return ep.action_repeat == 1 and not collect_metrics
 
 
 class FastLane:
@@ -107,6 +107,16 @@ class FastLane:
                 self.s, self.es, env._n_substeps, self.episode_length
             )
         self._aux_rows = soa_env.aux_row_map(self.es)
+        # gait clock (pupper.py:754-767): deterministic, outside the step
+        # core — the lane carries the phase as an XLA-side row and appends
+        # the (cos, sin) clock to the policy/transition observations
+        self.gait = bool(env._gait_phase_obs)
+        self._dphase = float(2.0 * np.pi * env._gait_frequency * env._dt)
+        self.priv = bool(self.es.priv)
+        if env._privileged_obs:
+            assert self.priv, "fast lane requires kernel privileged rows"
+        # observation width the policy and transitions see
+        self.obs_dim = self.es.hist + (2 if self.gait else 0)
 
     def _step_tiles(self, q_t, v_t, act_t, env_t, noi_t, dr_t, first_t, wrap_t):
         if self._mode == "xla":
@@ -147,14 +157,16 @@ class FastLane:
             "obs_history": state.obs[:, : es.hist],
         }
         env_rows = soa_env._flatten_env_in(es, env_in)
-        first = jnp.concatenate(
-            [
-                info["first_qpos"].astype(jnp.float32),
-                info["first_qvel"].astype(jnp.float32),
-                info["first_obs"][:, : es.hist].astype(jnp.float32),
-            ],
-            axis=1,
-        )
+        first_parts = [
+            info["first_qpos"].astype(jnp.float32),
+            info["first_qvel"].astype(jnp.float32),
+            info["first_obs"][:, : es.hist].astype(jnp.float32),
+        ]
+        if self.priv:
+            first_parts.append(
+                info["first_privileged_obs"].astype(jnp.float32)
+            )
+        first = jnp.concatenate(first_parts, axis=1)
         wrap = jnp.stack(
             [
                 info["steps"].astype(jnp.float32),
@@ -171,7 +183,7 @@ class FastLane:
                 self._pad(dr[name].reshape(B, n), B, Bp)
             )
         to_t = lambda x: soa._to_tiles(self._pad(x, B, Bp), Bp)  # noqa: E731
-        return {
+        carry = {
             "q": to_t(state.pipeline_state.qpos),
             "v": to_t(state.pipeline_state.qvel),
             "env": to_t(env_rows),
@@ -180,6 +192,9 @@ class FastLane:
             "dr": soa._to_tiles(jnp.concatenate(dr_parts, axis=1), Bp),
             "B": B,
         }
+        if self.gait:
+            carry["phase"] = to_t(info["gait_phase"][:, None])
+        return carry
 
     def state_from_carry(self, carry, template, rng, last_noise, last_aux):
         """Tile-layout carry -> State (mirrors pupper.step's epilogue +
@@ -220,6 +235,16 @@ class FastLane:
             k: aux("rewards")[:, i]
             for i, k in enumerate(soa_env.REWARD_ORDER)
         }
+        if self.priv:
+            info["privileged_obs"] = aux("privileged")
+        obs = rows("obs_history")
+        if self.gait:
+            phase = from_t(carry["phase"])[:, 0]
+            info["gait_phase"] = phase
+            obs = jnp.concatenate(
+                [obs, jnp.cos(phase)[:, None], jnp.sin(phase)[:, None]],
+                axis=1,
+            )
         metrics = dict(template.metrics)
         metrics["total_dist"] = aux("total_dist")[:, 0]
         metrics.update(info["rewards"])
@@ -227,7 +252,7 @@ class FastLane:
         pipeline_state = template.pipeline_state.replace(qpos=qpos, qvel=qvel)
         return template.replace(
             pipeline_state=pipeline_state,
-            obs=rows("obs_history"),
+            obs=obs,
             reward=aux("reward")[:, 0],
             done=aux("done")[:, 0],
             metrics=metrics,
@@ -281,7 +306,6 @@ class FastLane:
         pre-drawn eps rows -> (action, raw_action, log_prob) rows. Matches
         networks.make_inference_fn + NormalTanhDistribution exactly (same
         reductions, transposed layout)."""
-        es = self.es
         layers = []
         pdict = params["params"]
         for i in range(len(pdict)):
@@ -291,11 +315,13 @@ class FastLane:
         min_std = 0.001
         log2 = 0.6931471805599453
 
+        obs_dim = self.obs_dim
+
         def apply(obs_t, eps_rows):
             # obs_t: (obs_dim, Bp/LANE, LANE); eps_rows: (act_n, Bp/LANE, LANE)
             shape = obs_t.shape
             Bp = shape[1] * shape[2]
-            x = obs_t.reshape(es.hist, Bp)
+            x = obs_t.reshape(obs_dim, Bp)
             if normalizer is not None:
                 x = (x - normalizer.mean[:, None]) / normalizer.std[:, None]
             for i, (kernel, bias) in enumerate(layers):
@@ -356,18 +382,44 @@ class FastLane:
         papply = self.policy_rows(normalizer, params, hidden_activation)
         obs_r0, obs_n = es.env_rows["obs_history"]
         first_t, dr_t = carry0["first"], carry0["dr"]
+        done_r0 = self._aux_rows["done"][0]
+        two_pi = 2.0 * np.pi
+
+        def full_obs(env_t, phase_t):
+            """(obs_dim, nb, LANE) observation: the history rows plus the
+            gait clock rows when enabled (pupper.py:767)."""
+            obs_t = env_t[obs_r0 : obs_r0 + obs_n]
+            if not self.gait:
+                return obs_t
+            return jnp.concatenate(
+                [obs_t, jnp.cos(phase_t), jnp.sin(phase_t)], axis=0
+            )
 
         def body(carry, xs):
             noise_t, eps_t = xs
-            q_t, v_t, env_t, wrap_t = carry
-            obs_t = env_t[obs_r0 : obs_r0 + obs_n]
+            q_t, v_t, env_t, wrap_t, phase_t = carry
+            obs_t = full_obs(env_t, phase_t)
             act_t, raw_t, logp_t = papply(obs_t, eps_t)
             q2, v2, env2, wrap2, aux = self._step_tiles(
                 q_t, v_t, act_t, env_t, noise_t, dr_t, first_t, wrap_t
             )
-            return (q2, v2, env2, wrap2), (obs_t, act_t, raw_t, logp_t, aux)
+            if self.gait:
+                # free-running clock, restarted on the EFFECTIVE done
+                # (wrappers.py:148-157)
+                ticked = jnp.mod(phase_t + self._dphase, two_pi)
+                phase_t = jnp.where(aux[done_r0][None] > 0.5, 0.0, ticked)
+            return (q2, v2, env2, wrap2, phase_t), (
+                obs_t, act_t, raw_t, logp_t, aux,
+            )
 
-        carry_t = (carry0["q"], carry0["v"], carry0["env"], carry0["wrap"])
+        phase0 = (
+            carry0["phase"]
+            if self.gait
+            else jnp.zeros_like(carry0["wrap"][:1])
+        )
+        carry_t = (
+            carry0["q"], carry0["v"], carry0["env"], carry0["wrap"], phase0,
+        )
         if self._mode == "xla":
             # test/oracle mode: a Python loop keeps the huge emission out
             # of lax.scan so it can run EAGERLY op-by-op (XLA cannot
@@ -384,8 +436,10 @@ class FastLane:
             carry_t, ys = jax.lax.scan(
                 body, carry_t, (noise_tiles, eps_tiles), length=T
             )
-        q_f, v_f, env_f, wrap_f = carry_t
+        q_f, v_f, env_f, wrap_f, phase_f = carry_t
         carry = dict(carry0, q=q_f, v=v_f, env=env_f, wrap=wrap_f)
+        if self.gait:
+            carry["phase"] = phase_f
         obs_ts, act_ts, raw_ts, logp_ts, aux_ts = ys
 
         # transition assembly: one relayout per field per unroll
@@ -394,9 +448,7 @@ class FastLane:
             return jnp.transpose(x.reshape(Tn, rows, Bp), (0, 2, 1))[:, :B]
 
         observation = t_rows(obs_ts)
-        final_obs = t_rows(
-            carry["env"][None, obs_r0 : obs_r0 + obs_n]
-        )
+        final_obs = t_rows(full_obs(carry["env"], phase_f)[None])
         next_observation = jnp.concatenate([observation[1:], final_obs], axis=0)
         action = t_rows(act_ts)
         raw_action = t_rows(raw_ts)
@@ -411,6 +463,21 @@ class FastLane:
         done = aux_col("done")[:, :, 0]
         truncation = aux_col("truncation")[:, :, 0]
 
+        extras = {}
+        if self.priv:
+            # acting.actor_step extras semantics: privileged_obs is the
+            # PRE-step state's value (the entry state's for t=0, then the
+            # previous step's post-restore output), next_privileged_obs
+            # the post-step post-restore value
+            priv_steps = aux_col("privileged")  # (T, B, npriv)
+            entry_priv = state.info["privileged_obs"].astype(jnp.float32)
+            extras = {
+                "privileged_obs": jnp.concatenate(
+                    [entry_priv[None], priv_steps[:-1]], axis=0
+                ),
+                "next_privileged_obs": priv_steps,
+            }
+
         final_state = self.state_from_carry(
             carry, state, new_rngs, last_kick, aux_b[-1]
         )
@@ -423,6 +490,6 @@ class FastLane:
             truncation=truncation,
             policy_extras={"log_prob": log_prob, "raw_action": raw_action},
             metrics={},
-            extras={},
+            extras=extras,
         )
         return final_state, data

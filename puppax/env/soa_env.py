@@ -136,6 +136,25 @@ class _EnvStatic:
             if p.geom1 in torso_geoms or p.geom2 in torso_geoms
         ]
 
+        # privileged (critic-only) observation rows: emitted inside the
+        # WRAPPED kernel only (the standard lane computes them in XLA,
+        # pupper.py:298-331). The friction leaf is sourced from the
+        # kernel's pair_mu[0] row = max(slide friction of pair 0's geoms).
+        # Domain randomization SETS one scalar on every geom
+        # (domain_randomization.py:63), making pair_mu[0] ==
+        # geom_friction[0, 0] exactly; for an UNrandomized model the
+        # equality must hold on the base values — otherwise the env keeps
+        # the standard lane.
+        self.priv = bool(getattr(env, "_privileged_obs", False))
+        if self.priv:
+            gf = np.asarray(env.model.geom_friction)[..., 0]
+            p0 = s.pairs[0]
+            if gf.ndim != 1 or not np.isclose(
+                max(gf[p0.geom1], gf[p0.geom2]), gf[0]
+            ):
+                self.priv = False
+        self.npriv = int(env.privileged_obs_size) if self.priv else 0
+
         # input row maps ---------------------------------------------------
         self.env_rows: Dict[str, Tuple[int, int]] = {}
         r = 0
@@ -472,6 +491,26 @@ def _emit_env_step(
         "rewards": [scaled[k] for k in REWARD_ORDER],
         "total_dist": [total_dist],
     }
+
+    if es.priv:
+        # asymmetric-critic privileged rows (pupper.py:298-331, the same
+        # POST-step quantities): true local lin/ang velocity + gravity,
+        # joint velocities, this-step contact, updated feet air time,
+        # this-step kick, DR leaves (friction via pair_mu[0], kp via
+        # gain0[0], torso mass).
+        grav_true = qrot([0.0, 0.0, -1.0], qc)
+        out["privileged"] = (
+            list(local_vel)
+            + list(local_angv)
+            + list(grav_true)
+            + [v2[6 + j] for j in range(12)]
+            + list(contact)
+            + list(fat2)
+            + list(noi["kick"])
+            + [dr["pair_mu"][0], dr["gain0"][0], dr["mass"][es.torso_body]]
+        )
+        assert len(out["privileged"]) == es.npriv
+
     return q2, v2, fw, out
 
 
@@ -716,13 +755,16 @@ def aux_row_map(es: _EnvStatic) -> Dict[str, Tuple[int, int]]:
     """Row map for the wrapped kernel's aux output block."""
     out: Dict[str, Tuple[int, int]] = {}
     r = 0
-    for name, n in (
+    names = [
         ("reward", 1),
         ("done", 1),
         ("truncation", 1),
         ("rewards", len(REWARD_ORDER)),
         ("total_dist", 1),
-    ):
+    ]
+    if es.priv:
+        names.append(("privileged", es.npriv))
+    for name, n in names:
         out[name] = (r, n)
         r += n
     return out
@@ -745,6 +787,7 @@ def _emit_wrapped_step(
     first_q: List,
     first_v: List,
     first_obs: List,
+    first_priv: List,
     steps,
     prev_done,
     n_substeps: int,
@@ -809,6 +852,13 @@ def _emit_wrapped_step(
         "rewards": out["rewards"],
         "total_dist": out["total_dist"],
     }
+    if es.priv:
+        # AutoResetWrapper restores privileged_obs from the reset-time
+        # value on the effective done (wrappers.py:159-165)
+        aux["privileged"] = [
+            _sel(done2, first_priv[i], out["privileged"][i], ref)
+            for i in range(es.npriv)
+        ]
     return q_out, v_out, env_out, steps2, done2, aux
 
 
@@ -818,7 +868,7 @@ def _build_wrapped_kernel(
     """Kernel: (q, v, act, env, noise, dr, first, wrap) ->
     (q', v', env', wrap', aux). No physics-cache emission — the training
     rollout consumes only the carried state and the aux rows."""
-    nfirst = s.nq + s.nv + es.hist
+    nfirst = s.nq + s.nv + es.hist + es.npriv
     aux_rows = aux_row_map(es)
     naux = sum(n for _, n in aux_rows.values())
 
@@ -844,13 +894,16 @@ def _build_wrapped_kernel(
         first_q = [first_ref[i] for i in range(s.nq)]
         first_v = [first_ref[s.nq + i] for i in range(s.nv)]
         first_obs = [first_ref[s.nq + s.nv + i] for i in range(es.hist)]
+        first_priv = [
+            first_ref[s.nq + s.nv + es.hist + i] for i in range(es.npriv)
+        ]
         steps = wrap_ref[0]
         prev_done = wrap_ref[1]
         ref = q[0]
 
         q_out, v_out, env_out, steps2, done2, aux = _emit_wrapped_step(
             s, es, q, v, act, env, noi, dr, first_q, first_v, first_obs,
-            steps, prev_done, n_substeps, episode_length,
+            first_priv, steps, prev_done, n_substeps, episode_length,
         )
 
         for i in range(s.nq):
@@ -909,13 +962,14 @@ def wrapped_step_rows_xla(
     }
     first_q = first_r[: s.nq]
     first_v = first_r[s.nq : s.nq + s.nv]
-    first_obs = first_r[s.nq + s.nv :]
+    first_obs = first_r[s.nq + s.nv : s.nq + s.nv + es.hist]
+    first_priv = first_r[s.nq + s.nv + es.hist :]
     wrap_r = rows(wrap_t)
     ref = q[0]
 
     q_out, v_out, env_out, steps2, done2, aux = _emit_wrapped_step(
         s, es, q, v, act, env, noi, dr, first_q, first_v, first_obs,
-        wrap_r[0], wrap_r[1], n_substeps, episode_length,
+        first_priv, wrap_r[0], wrap_r[1], n_substeps, episode_length,
     )
 
     def stack(vals):

@@ -92,11 +92,24 @@ def main():
             st = step(st, actions[t])
         jax.block_until_ready(st.obs)
         results[mode] = st
-        # timed: STEPS_TIMED steps, block once at the end (no D2H)
+
+        # timed: ONE jitted scan block of STEPS_TIMED steps (a single
+        # dispatch). Per-step Python dispatches through the tunneled TPU
+        # cost a full RPC round-trip each, so a per-step loop measures
+        # tunnel latency, not device time (r3: the old loop read 1.6-16
+        # ms/step for kernels that cost ~100 us on-device).
+        @jax.jit
+        def block(s0):
+            def body(s, _):
+                return step(s, actions[0]), ()
+
+            s_out, _ = jax.lax.scan(body, s0, (), length=STEPS_TIMED)
+            return s_out
+
+        st2 = block(st)  # compile warmup
+        jax.block_until_ready(st2.obs)
         t0 = time.perf_counter()
-        st2 = st
-        for _ in range(STEPS_TIMED):
-            st2 = step(st2, actions[0])
+        st2 = block(st2)
         jax.block_until_ready(st2.obs)
         timings[mode] = (time.perf_counter() - t0) / STEPS_TIMED
 

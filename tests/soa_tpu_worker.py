@@ -65,14 +65,33 @@ def main():
         # warmup one step (compiles)
         warm = step(state, actions[0])
         jax.block_until_ready(warm.obs)
-        # timed: T steps, block once at the end (no D2H)
-        t0 = time.perf_counter()
+        # trajectory for comparison (per-step on purpose: T distinct
+        # actions, same call pattern both modes)
         st = state
         for t in range(T):
             st = step(st, actions[t])
         jax.block_until_ready(st.obs)
-        timings[mode] = (time.perf_counter() - t0) / T
         results[mode] = st
+
+        # timed: ONE jitted scan block (a single dispatch) — a per-step
+        # Python loop through the tunneled TPU measures RPC latency, not
+        # device time (r3: it read seconds/step for ~100 us kernels)
+        STEPS_TIMED = 50
+
+        @jax.jit
+        def block(s0):
+            def body(s, _):
+                return step(s, actions[0]), ()
+
+            s_out, _ = jax.lax.scan(body, s0, (), length=STEPS_TIMED)
+            return s_out
+
+        st2 = block(st)
+        jax.block_until_ready(st2.obs)
+        t0 = time.perf_counter()
+        st2 = block(st2)
+        jax.block_until_ready(st2.obs)
+        timings[mode] = (time.perf_counter() - t0) / STEPS_TIMED
 
     # D2H reads only now
     a, b = results["auto"], results["off"]

@@ -236,6 +236,80 @@ def test_fast_unroll_matches_generate_unroll(setup):
 
 
 @pytest.mark.slow
+def test_fast_unroll_gait_and_privileged(setup):
+    """Gait-clock + privileged-critic envs on the fast lane: transitions
+    (incl. the critic extras), clock columns, and final info match the
+    standard lane through an auto-reset."""
+    env = PupperV3Env(
+        path=None,
+        reward_config=get_config(),
+        action_scale=0.75,
+        observation_history=2,
+        maximum_pitch_command=10.0,
+        maximum_roll_command=10.0,
+        environment_timestep=0.004,
+        physics_timestep=0.004,
+        gait_phase_observation=True,
+        gait_frequency=2.5,
+        privileged_obs=True,
+    )
+    short = wrappers.wrap_for_training(env, episode_length=3)
+    nets = ppo_networks.make_ppo_networks(
+        env.observation_size, env.action_size,
+        policy_hidden_layer_sizes=(32, 32), activation=jax.nn.elu,
+    )
+    policy_params = nets.policy_network.init(jax.random.PRNGKey(7))
+    normalizer = running_statistics.init_state(env.observation_size)
+    normalizer = normalizer.replace(
+        mean=jnp.linspace(-0.1, 0.1, env.observation_size),
+        std=jnp.linspace(0.9, 1.1, env.observation_size),
+    )
+
+    fl = rollout.FastLane(short, mode="xla")
+    assert fl.gait and fl.priv
+    assert fl.obs_dim == env.observation_size
+    state = _reset(short)
+    key = jax.random.PRNGKey(5)
+    policy = ppo_networks.make_inference_fn(nets)((normalizer, policy_params))
+
+    ref_final, ref_data = jax.jit(
+        lambda s, k: acting.generate_unroll(short, s, policy, k, 5)
+    )(state, key)
+    got_final, got_data = fl.unroll(
+        state, (normalizer, policy_params), key, 5, jax.nn.elu
+    )
+
+    atol = 2e-4
+    np.testing.assert_allclose(
+        np.asarray(got_data.observation), np.asarray(ref_data.observation),
+        atol=atol, err_msg="observation (incl. clock columns)",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_data.next_observation),
+        np.asarray(ref_data.next_observation), atol=atol,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_data.discount), np.asarray(ref_data.discount)
+    )
+    for name in ("privileged_obs", "next_privileged_obs"):
+        np.testing.assert_allclose(
+            np.asarray(got_data.extras[name]),
+            np.asarray(ref_data.extras[name]), atol=atol, err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_final.info["gait_phase"]),
+        np.asarray(ref_final.info["gait_phase"]), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_final.info["privileged_obs"]),
+        np.asarray(ref_final.info["privileged_obs"]), atol=atol,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_final.obs), np.asarray(ref_final.obs), atol=atol
+    )
+
+
+@pytest.mark.slow
 def test_fast_unroll_through_episode_reset(setup):
     """Auto-reset + truncation mid-unroll: run T past the episode horizon
     and require the fast lane to reproduce the standard lane's restore."""

@@ -43,11 +43,20 @@ for t in range(60):
         nan_step = t
         break
 
-# single-step device-vs-CPU comparison (identical rng => identical draws)
+# single-step device-vs-CPU comparison (identical rng => identical draws).
+# The SoA kernel splices key off the PROCESS default backend (tpu here),
+# so the CPU-referenced trace must disable them explicitly or pallas
+# lowering fails with "Only interpret mode is supported on CPU backend"
+# — the mode env vars are read at trace time, so setting them now only
+# affects the fresh CPU jit below.
+import os
+
 cpu = jax.devices("cpu")[0]
 s0 = reset(jax.random.split(jax.random.PRNGKey(0), 4))
 a0 = jnp.zeros((4, 12))
 dev_out = step(s0, a0)
+os.environ["PUPPAX_SOA"] = "off"
+os.environ["PUPPAX_SOA_ENV"] = "off"
 with jax.default_device(cpu):
     s0c = jax.device_put(s0, cpu)
     a0c = jax.device_put(a0, cpu)
