@@ -24,14 +24,20 @@ for t in range(60):
         break
 else:
     print("no NaNs in 60 random-action steps at B=256")
-# single-step CPU-vs-TPU comparison; the CPU re-trace must disable the
-# pallas splices (they key off the process default backend = tpu)
+# single-step CPU-vs-TPU comparison. Order matters (ADVICE r3): the mode
+# env vars are read at TRACE time and B=4 forces a fresh trace, so the
+# TPU step must run BEFORE the splices are disabled — otherwise both
+# sides run the XLA lane and the check validates nothing (matching
+# tests/tpu_numerics_worker.py ordering).
 import os
-os.environ["PUPPAX_SOA"] = "off"; os.environ["PUPPAX_SOA_ENV"] = "off"
 cpu = jax.devices('cpu')[0]
 s0 = reset(jax.random.split(jax.random.PRNGKey(0), 4))
 a0 = jnp.zeros((4, 12))
 tpu_out = step(s0, a0)
+jax.block_until_ready(tpu_out.obs)
+# the CPU re-trace must disable the pallas splices (they key off the
+# process default backend = tpu)
+os.environ["PUPPAX_SOA"] = "off"; os.environ["PUPPAX_SOA_ENV"] = "off"
 with jax.default_device(cpu):
     s0c = jax.device_put(s0, cpu); a0c = jax.device_put(a0, cpu)
     cpu_out = jax.jit(jax.vmap(env.step))(s0c, a0c)

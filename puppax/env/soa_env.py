@@ -145,14 +145,24 @@ class _EnvStatic:
         # geom_friction[0, 0] exactly; for an UNrandomized model the
         # equality must hold on the base values — otherwise the env keeps
         # the standard lane.
+        # Contract: the canonical randomization_fn draws ONE friction
+        # scalar per env and broadcasts it to every geom, so any pair's
+        # combined mu equals geom_friction[0]; a non-uniform per-geom DR
+        # would break this silently at runtime (dr_inputs detects batching
+        # by rank only) — rollout.FastLane re-asserts uniformity on the
+        # batched leaf in carry_from_state. A pair-less model (no contacts)
+        # has no pair_mu row at all, so it keeps the standard lane.
         self.priv = bool(getattr(env, "_privileged_obs", False))
         if self.priv:
             gf = np.asarray(env.model.geom_friction)[..., 0]
-            p0 = s.pairs[0]
-            if gf.ndim != 1 or not np.isclose(
-                max(gf[p0.geom1], gf[p0.geom2]), gf[0]
-            ):
+            if len(s.pairs) == 0:
                 self.priv = False
+            else:
+                p0 = s.pairs[0]
+                if gf.ndim != 1 or not np.isclose(
+                    max(gf[p0.geom1], gf[p0.geom2]), gf[0]
+                ):
+                    self.priv = False
         self.npriv = int(env.privileged_obs_size) if self.priv else 0
 
         # input row maps ---------------------------------------------------

@@ -44,6 +44,23 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_artifact(self, path: str, name: str) -> None:
+        """Upload a checkpoint/model directory as a run artifact (the
+        reference uploads every orbax checkpoint with ``wandb.log_model``,
+        /root/reference/pupperv3_mjx/utils.py:208-211). JSONL runs record
+        a pointer line instead — the artifact already lives on disk at
+        ``path``."""
+        if self._jsonl_path:
+            with open(self._jsonl_path, "a") as f:
+                f.write(
+                    json.dumps(
+                        {"artifact": name, "path": str(path), "ts": time.time()}
+                    )
+                    + "\n"
+                )
+        if self._wandb is not None:
+            self._wandb.log_model(path=str(path), name=name)
+
 
 def _is_scalar(v) -> bool:
     try:

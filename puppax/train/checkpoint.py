@@ -19,8 +19,9 @@ import orbax.checkpoint as ocp
 
 def save_checkpoint(current_step: int, params: Any, checkpoint_path) -> str:
     """Save a param pytree under ``checkpoint_path/<step>/`` (reference
-    utils.py:202-211 semantics; the artifact-store upload is handled by the
-    pluggable metrics sink, not here)."""
+    utils.py:202-211 semantics). The artifact-store upload lives in
+    ``MetricsLogger.log_artifact`` (puppax/tools/metrics.py), wired after
+    each save by scripts/train.py — not here."""
     path = (Path(checkpoint_path) / str(current_step)).resolve()
     checkpointer = ocp.PyTreeCheckpointer()
     checkpointer.save(path, params, force=True)

@@ -219,14 +219,25 @@ def train(
     action_size = environment.action_size
 
     # rollout fast lane: tiles-resident unroll with the wrapped env kernel
-    # (puppax/env/rollout.py). Single-device only for now — the pallas
-    # call is not yet shard_map-wrapped for a partitioned env batch; the
-    # multi-device mesh keeps the standard vmap lane.
+    # (puppax/env/rollout.py). On a multi-device mesh the unroll runs
+    # under shard_map over the env axis (each device steps its local env
+    # shard through its own kernel instance — envs are independent, no
+    # collectives inside the unroll).
     from puppax.env import rollout as rollout_lib
 
     fast_lane = None
-    if num_devices == 1 and rollout_lib.supported(env):
-        fast_lane = rollout_lib.FastLane(env)
+    lane_ok, lane_reason = rollout_lib.support_reason(env)
+    if lane_ok:
+        fast_lane = rollout_lib.FastLane(
+            env, mesh=device_mesh, axis_name=mesh_lib.ENV_AXIS
+        )
+    if jax.process_index() == 0:
+        print(
+            f"[puppax.ppo] rollout fast lane: "
+            f"{'ON' if lane_ok else 'OFF'} ({lane_reason}; "
+            f"devices={num_devices})",
+            flush=True,
+        )
 
     # --- networks + optimizer -------------------------------------------
     if privileged_critic:

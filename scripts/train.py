@@ -172,7 +172,11 @@ def main():
 
     def policy_params_fn(step, make_policy, params):
         if t.checkpoint_path and is_lead:
-            checkpoint.save_checkpoint(step, params, t.checkpoint_path)
+            path = checkpoint.save_checkpoint(step, params, t.checkpoint_path)
+            # artifact-store upload per checkpoint (reference
+            # utils.py:208-211 wandb.log_model parity; JSONL sink records
+            # a pointer line)
+            logger.log_artifact(path, name=f"checkpoint_{step}")
 
     network_factory = functools.partial(
         make_ppo_networks,
@@ -216,6 +220,7 @@ def main():
     print(json.dumps({k: v for k, v in metrics.items()}, default=float, indent=2))
     if t.checkpoint_path and is_lead:
         path = checkpoint.save_checkpoint(t.num_timesteps, params, t.checkpoint_path)
+        logger.log_artifact(path, name=f"checkpoint_{t.num_timesteps}")
         print(f"final checkpoint: {path}")
 
 

@@ -41,6 +41,29 @@ def test_metrics_logger_jsonl(tmp_path):
     assert "nested" not in lines[0]  # non-scalars skipped
 
 
+def test_metrics_logger_log_artifact(tmp_path):
+    """Checkpoint artifact upload (reference utils.py:208-211
+    wandb.log_model parity): the JSONL sink records a pointer line; a live
+    W&B sink gets a log_model call (stubbed)."""
+    path = str(tmp_path / "metrics.jsonl")
+    logger = MetricsLogger(jsonl_path=path)
+
+    class StubWandb:
+        def __init__(self):
+            self.calls = []
+
+        def log_model(self, path, name):
+            self.calls.append((path, name))
+
+    stub = StubWandb()
+    logger._wandb = stub
+    logger.log_artifact(str(tmp_path / "ckpt" / "100"), name="checkpoint_100")
+    lines = [json.loads(line) for line in open(path)]
+    assert lines[-1]["artifact"] == "checkpoint_100"
+    assert lines[-1]["path"].endswith("ckpt/100")
+    assert stub.calls == [(str(tmp_path / "ckpt" / "100"), "checkpoint_100")]
+
+
 def test_progress_fn_accumulates_curve(tmp_path):
     logger = MetricsLogger(jsonl_path=str(tmp_path / "m.jsonl"))
     progress = make_progress_fn(logger)
