@@ -102,21 +102,23 @@ class VmapWrapper(Wrapper):
 class AutoResetWrapper(Wrapper):
     """brax-semantics auto-reset: restore the reset-time state on done.
 
-    Only the dynamic fields the env step actually consumes are restored:
-    ``qpos``, ``qvel``, and the observation stack. Every other
-    ``PhysicsState`` leaf (FK products, site positions, contacts,
-    actuator forces) is a pure function of ``qpos``/``qvel`` recomputed by
-    the next physics step, and training consumes only obs/reward/done
-    (train/acting.py:50-57) — so carrying a full reset-time PhysicsState
-    copy through the rollout scan and tree-mapping ``where(done)`` over
-    all of it (brax's approach) only adds HBM traffic per step. The
-    observable difference is confined to the derived leaves of a
-    post-done state *between* steps, which no consumer reads.
+    The FULL PhysicsState is restored with a tree-mapped ``where(done)``
+    (brax's approach). r2 tried a "lean" variant restoring only
+    qpos/qvel/obs on the theory that the derived leaves are recomputed
+    anyway — measured on the chip it HALVED flat env-step throughput
+    (3.2M vs 6.9M env-steps/s @16384; r4 bisect to 54e694e): the partial
+    ``.replace()`` breaks XLA's carry aliasing for the large contact/FK
+    buffers in the rollout scan, which costs far more than the where()
+    writes it saved. ``first_qpos``/``first_qvel``/``first_obs`` are kept
+    alongside ``first_pipeline_state`` as zero-copy aliases — the rollout
+    fast lane and the fused wrapped kernel consume exactly those rows
+    (puppax/env/rollout.py carry_from_state).
     """
 
     def reset(self, rng: jax.Array) -> State:
         state = self.env.reset(rng)
         info = dict(state.info)
+        info["first_pipeline_state"] = state.pipeline_state
         info["first_qpos"] = state.pipeline_state.qpos
         info["first_qvel"] = state.pipeline_state.qvel
         info["first_obs"] = state.obs
@@ -139,9 +141,10 @@ class AutoResetWrapper(Wrapper):
                 done = jnp.reshape(done, [x.shape[0]] + [1] * (len(x.shape) - 1))
             return jnp.where(done, x, y)
 
-        pipeline_state = state.pipeline_state.replace(
-            qpos=where_done(state.info["first_qpos"], state.pipeline_state.qpos),
-            qvel=where_done(state.info["first_qvel"], state.pipeline_state.qvel),
+        pipeline_state = jax.tree_util.tree_map(
+            where_done,
+            state.info["first_pipeline_state"],
+            state.pipeline_state,
         )
         obs = where_done(state.info["first_obs"], state.obs)
         state = state.replace(pipeline_state=pipeline_state, obs=obs)

@@ -59,13 +59,16 @@ def apply_lagged_value(
     buffer_newest_first: jax.Array, new_value: jax.Array, onehot: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """Push new_value, then select the lag column by the one-hot weights —
-    a contraction instead of ``jnp.take``, because batched dynamic gathers
-    are pathological on TPU (same rule as ops/select.py; 0/1 weights at
-    HIGHEST precision select exactly)."""
+    an elementwise multiply + depth-axis sum instead of ``jnp.take``
+    (batched dynamic gathers are pathological on TPU) and instead of an
+    einsum (r2's HIGHEST-precision einsum vmapped into a tiny batched GEMM
+    that alone cost ~35% of flat env-step throughput — the r4 bisect to
+    54e694e). 0/1 weights select exactly: each column is scaled by 0.0 or
+    1.0 and summing zeros is exact in f32."""
     buffer_newest_first = circular_buffer_push_front(buffer_newest_first, new_value)
-    sampled = jnp.einsum(
-        "d,nd->n", onehot.astype(buffer_newest_first.dtype), buffer_newest_first,
-        precision=jax.lax.Precision.HIGHEST,
+    sampled = jnp.sum(
+        buffer_newest_first * onehot.astype(buffer_newest_first.dtype)[None, :],
+        axis=1,
     )
     return sampled, buffer_newest_first
 
