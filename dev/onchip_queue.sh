@@ -35,6 +35,7 @@ run_stage probe 240 python -c "import jax, jax.numpy as jnp; print(jax.default_b
 run_stage tpu_soa      3600 python -m pytest tests/test_soa.py -q -m tpu -rA
 run_stage tpu_soa_env 12000 python -m pytest tests/test_soa_env.py -q -m tpu -rA
 run_stage tpu_numerics 1800 python -m pytest tests/test_tpu_numerics.py -q -m tpu -rA
+run_stage tpu_rollout  3600 python -m pytest tests/test_rollout.py -q -m tpu -rA
 
 run_stage numerics 900 python dev/check_tpu_numerics.py
 
