@@ -184,6 +184,7 @@ class FastLane:
         self.s: soa._Static = core._s
         self.es: soa_env._EnvStatic = core._es
         self._kernel = None
+        self._fused_kernels: Dict[Any, Any] = {}
         if mode != "xla":
             self._kernel = soa_env._build_wrapped_kernel(
                 self.s, self.es, env._n_substeps, self.episode_length
@@ -427,7 +428,15 @@ class FastLane:
             if normalizer is not None:
                 x = (x - normalizer.mean[:, None]) / normalizer.std[:, None]
             for i, (kernel, bias) in enumerate(layers):
-                x = kernel.T @ x + bias[:, None]
+                # HIGHEST: f32-accurate MXU passes — keeps the scan lane's
+                # policy numerics aligned with the fused kernel's in-kernel
+                # dots (fused_unroll.mlp_rows_tiles) on TPU, where the
+                # default matmul precision is bf16
+                x = jax.lax.dot_general(
+                    kernel, x, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                ) + bias[:, None]
                 if i != len(layers) - 1:
                     x = hidden_activation(x)
             loc, scale_param = x[:act_n], x[act_n:]
@@ -447,6 +456,24 @@ class FastLane:
         return apply
 
     # ---- the unroll ----------------------------------------------------------
+    def use_fused(self, T: int) -> bool:
+        """Whether ``unroll`` routes through the whole-unroll fused kernel
+        (puppax/env/fused_unroll.py): one pallas call per unroll instead of
+        T scan iterations. Opt-in (PUPPAX_FUSED_UNROLL=on): the on-chip
+        probe (dev/probe_fused_unroll.py, r4) measured the unroll
+        KERNEL-COMPUTE-bound at >=16k envs — ~195 us per 1024-env tile per
+        step for the ~100k-op emission on both lanes — so removing the
+        scan boundary is wash-at-16k / slower-at-4k until the per-tile op
+        count drops; the scan lane stays the default."""
+        import os
+
+        mode = os.environ.get("PUPPAX_FUSED_UNROLL", "off")
+        if mode not in ("on", "force", "auto_on"):
+            return False
+        if self._mode not in ("kernel", "interpret"):
+            return False  # xla mode keeps the eager oracle loop
+        return T >= 1
+
     def unroll(self, state, policy_params, key, T: int,
                hidden_activation, difficulty=None):
         """Fast-lane equivalent of acting.generate_unroll: T policy steps,
@@ -531,6 +558,49 @@ class FastLane:
             T, self.env.action_size, Bp // LANE, LANE
         )
 
+        phase0 = (
+            carry0["phase"]
+            if self.gait
+            else jnp.zeros_like(carry0["wrap"][:1])
+        )
+        if self._mode != "xla" and self.use_fused(T):
+            from puppax.env import fused_unroll
+
+            layers = fused_unroll.fold_normalizer(normalizer, params)
+            shapes = tuple(w.shape for w, _ in layers)
+            cache_key = (T, shapes, self.gait)
+            run = self._fused_kernels.get(cache_key)
+            if run is None:
+                run = fused_unroll.build_unroll_kernel(
+                    self.s, es, self.env._n_substeps, self.episode_length,
+                    T, shapes, self.gait, self._dphase, hidden_activation,
+                )
+                self._fused_kernels[cache_key] = run
+            weights = []
+            for w, b in layers:
+                weights.append(w)
+                weights.append(b[:, None])
+            outs = run(
+                carry0["q"], carry0["v"], carry0["env"], carry0["wrap"],
+                carry0["phase"] if self.gait else None,
+                carry0["first"], carry0["dr"], noise_tiles, eps_tiles,
+                weights, interpret=(self._mode == "interpret"),
+            )
+            k = 4
+            q_f, v_f, env_f, wrap_f = outs[:4]
+            phase_f = phase0
+            if self.gait:
+                phase_f, k = outs[k], k + 1
+            obs_ts, act_ts, raw_ts, logp4, aux_ts = outs[k : k + 5]
+            logp_ts = logp4[:, 0]
+            carry = dict(carry0, q=q_f, v=v_f, env=env_f, wrap=wrap_f)
+            if self.gait:
+                carry["phase"] = phase_f
+            return self._assemble_unroll(
+                state, carry, phase_f, obs_ts, act_ts, raw_ts, logp_ts,
+                aux_ts, new_rngs, last_kick, T, B, Bp,
+            )
+
         papply = self.policy_rows(normalizer, params, hidden_activation)
         obs_r0, obs_n = es.env_rows["obs_history"]
         first_t, dr_t = carry0["first"], carry0["dr"]
@@ -564,11 +634,6 @@ class FastLane:
                 obs_t, act_t, raw_t, logp_t, aux,
             )
 
-        phase0 = (
-            carry0["phase"]
-            if self.gait
-            else jnp.zeros_like(carry0["wrap"][:1])
-        )
         carry_t = (
             carry0["q"], carry0["v"], carry0["env"], carry0["wrap"], phase0,
         )
@@ -593,6 +658,26 @@ class FastLane:
         if self.gait:
             carry["phase"] = phase_f
         obs_ts, act_ts, raw_ts, logp_ts, aux_ts = ys
+        return self._assemble_unroll(
+            state, carry, phase_f, obs_ts, act_ts, raw_ts, logp_ts, aux_ts,
+            new_rngs, last_kick, T, B, Bp,
+        )
+
+    def _assemble_unroll(self, state, carry, phase_f, obs_ts, act_ts,
+                         raw_ts, logp_ts, aux_ts, new_rngs, last_kick,
+                         T: int, B: int, Bp: int):
+        """Tile-layout unroll outputs -> (final State, Transition): the
+        shared epilogue of the scan lane and the fused-kernel lane."""
+        es = self.es
+        obs_r0, obs_n = es.env_rows["obs_history"]
+
+        def full_obs(env_t, phase_t):
+            obs_t = env_t[obs_r0 : obs_r0 + obs_n]
+            if not self.gait:
+                return obs_t
+            return jnp.concatenate(
+                [obs_t, jnp.cos(phase_t), jnp.sin(phase_t)], axis=0
+            )
 
         # transition assembly: one relayout per field per unroll
         def t_rows(x):  # (T, rows, Bp/LANE, LANE) -> (T, B, rows)

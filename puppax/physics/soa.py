@@ -62,7 +62,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from puppax.model.mjcf import JNT_FREE, JNT_HINGE, RobotModel
 
-SUB, LANE = 8, 128
+# Batch-tile geometry: each algebra value is a (SUB, LANE) block covering
+# TILE_B envs. SUB=8 matches the f32 vreg sublane count; PUPPAX_SUB widens
+# the tile (16/32) so each Mosaic op covers more envs — a perf experiment
+# knob for the op-issue-bound emission (read ONCE at import; everything
+# downstream derives from these constants).
+import os as _os
+
+SUB = int(_os.environ.get("PUPPAX_SUB", "8"))
+LANE = 128
 TILE_B = SUB * LANE
 
 _MINVAL = 1e-15

@@ -232,10 +232,15 @@ def train(
             env, mesh=device_mesh, axis_name=mesh_lib.ENV_AXIS
         )
     if jax.process_index() == 0:
+        fused_txt = ""
+        if fast_lane is not None:
+            fused_txt = (
+                f", fused-unroll={'ON' if fast_lane.use_fused(unroll_length) else 'OFF'}"
+            )
         print(
             f"[puppax.ppo] rollout fast lane: "
             f"{'ON' if lane_ok else 'OFF'} ({lane_reason}; "
-            f"devices={num_devices})",
+            f"devices={num_devices}{fused_txt})",
             flush=True,
         )
 

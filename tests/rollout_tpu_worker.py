@@ -119,6 +119,22 @@ def main():
     sh_final, sh_data = unroll_sh(state_fast, key)
     jax.block_until_ready(sh_data.reward)
 
+    # whole-unroll fused kernel (opt-in lane): same draws + emission, the
+    # policy runs in-kernel (fused_unroll.build_unroll_kernel) — expected
+    # ~bit-equal to the scan-lane kernel unroll (HIGHEST-precision policy
+    # dots in both, identity normalizer fold)
+    os.environ["PUPPAX_FUSED_UNROLL"] = "on"
+    fl_fz = rollout.FastLane(wrapped_fast)
+    assert fl_fz.use_fused(T)
+    unroll_fz = jax.jit(
+        lambda s, k: fl_fz.unroll(
+            s, (normalizer, params), k, T, nets.policy_activation
+        )
+    )
+    fz_final, fz_data = unroll_fz(state_fast, key)
+    jax.block_until_ready(fz_data.reward)
+    os.environ["PUPPAX_FUSED_UNROLL"] = "off"
+
     # timed: unroll blocks, single dispatch each (per-step Python
     # dispatches through the tunnel measure RPC latency, not device time)
     st, kk = got_final, jax.random.split(key)[0]
@@ -128,6 +144,12 @@ def main():
         st, _ = unroll(st, kk)
         jax.block_until_ready(st.obs)
         t_best = min(t_best, time.perf_counter() - t0)
+    t_fz = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        f_st, _ = unroll_fz(st, kk)
+        jax.block_until_ready(f_st.obs)
+        t_fz = min(t_fz, time.perf_counter() - t0)
 
     # D2H reads only now
     out = {
@@ -151,9 +173,23 @@ def main():
         "d_sh_final_q": float(jnp.max(jnp.abs(
             sh_final.pipeline_state.qpos - got_final.pipeline_state.qpos
         ))),
+        # fused whole-unroll kernel vs the scan-lane kernel unroll
+        "d_fz_obs": float(jnp.max(jnp.abs(fz_data.observation - got_data.observation))),
+        "d_fz_rew": float(jnp.max(jnp.abs(fz_data.reward - got_data.reward))),
+        "d_fz_done": float(jnp.max(jnp.abs(fz_data.discount - got_data.discount))),
+        "d_fz_logp": float(jnp.max(jnp.abs(
+            fz_data.policy_extras["log_prob"] - got_data.policy_extras["log_prob"]
+        ))),
+        "d_fz_priv": float(jnp.max(jnp.abs(
+            fz_data.extras["privileged_obs"] - got_data.extras["privileged_obs"]
+        ))),
+        "d_fz_final_q": float(jnp.max(jnp.abs(
+            fz_final.pipeline_state.qpos - got_final.pipeline_state.qpos
+        ))),
         "finite": bool(jnp.all(jnp.isfinite(got_data.observation))),
         "fast_lane_env_steps_per_s": B * T / t_best,
         "us_per_env_step_block": t_best / T * 1e6,
+        "fused_env_steps_per_s": B * T / t_fz,
     }
     print(json.dumps(out))
 

@@ -427,6 +427,14 @@ def test_on_device_fast_lane():
     assert result["d_sh_obs"] < 1e-5, result
     assert result["d_sh_rew"] < 1e-5, result
     assert result["d_sh_final_q"] < 1e-5, result
+    # the fused whole-unroll kernel must match the scan-lane kernel
+    # unroll (same emission + draws; HIGHEST policy dots in both)
+    assert result["d_fz_done"] == 0.0, result
+    assert result["d_fz_obs"] < 1e-4, result
+    assert result["d_fz_rew"] < 1e-4, result
+    assert result["d_fz_logp"] < 1e-3, result
+    assert result["d_fz_priv"] < 1e-4, result
+    assert result["d_fz_final_q"] < 1e-4, result
 
 
 def test_fast_unroll_sharded_matches_single(setup):
