@@ -51,7 +51,17 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, size in enumerate(self.layer_sizes):
-            x = nn.Dense(size, name=f"hidden_{i}", kernel_init=self.kernel_init)(x)
+            # HIGHEST: f32-accurate MXU passes. The TPU default (bf16
+            # one-pass) would silently WEAKEN numerics vs the reference
+            # (brax MLPs run plain f32 on GPU), and the rollout fast
+            # lane / fused unroll kernel compute their policy dots in
+            # f32 — pinning every lane to HIGHEST keeps policy math
+            # identical across the standard lane, the tile lanes, and
+            # the C++ deployment runtime (f64 replay, export/params.py).
+            x = nn.Dense(
+                size, name=f"hidden_{i}", kernel_init=self.kernel_init,
+                precision=jax.lax.Precision.HIGHEST,
+            )(x)
             if i != len(self.layer_sizes) - 1 or self.activate_final:
                 x = self.activation(x)
         return x
