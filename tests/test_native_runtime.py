@@ -132,18 +132,31 @@ def test_native_rejects_garbage(tmp_path):
         NativePolicy(str(bad))
 
 
-def test_pretrained_artifact_loads_in_native_runtime():
-    """The committed pretrained policy must stay consumable by the C++
-    runtime (guards the ABI against accidental format drift)."""
+def test_pretrained_artifacts_load_in_native_runtime():
+    """Every committed example policy must stay consumable by the C++
+    runtime (guards the ABI against accidental format drift) — including
+    the run7 gait-clocked artifact through infer_clocked."""
+    import glob
+    import json
     import os
 
-    artifact = os.path.join(
-        os.path.dirname(__file__), "..", "examples", "pretrained_pupper_policy.json"
+    pattern = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "*.json"
     )
-    if not os.path.exists(artifact):
-        pytest.skip("no pretrained artifact")
-    policy = NativePolicy(artifact)
-    out = policy(np.zeros(policy.in_dim, np.float32))
-    assert out.shape == (12,)
-    assert np.all(np.isfinite(out))
-    policy.close()
+    artifacts = sorted(glob.glob(pattern))
+    if not artifacts:
+        pytest.skip("no pretrained artifacts")
+    for artifact in artifacts:
+        meta = json.load(open(artifact))
+        policy = NativePolicy(artifact)
+        if meta.get("gait_phase_observation"):
+            # the clocked entry point consumes the clock-less obs and
+            # appends (cos, sin) internally
+            out = policy.infer_clocked(
+                np.zeros(policy.in_dim - 2, np.float32)
+            )
+        else:
+            out = policy(np.zeros(policy.in_dim, np.float32))
+        assert out.shape == (12,), artifact
+        assert np.all(np.isfinite(out)), artifact
+        policy.close()
