@@ -33,7 +33,11 @@ GRID = 512  # repeat the body across grid steps so launch cost amortizes
 
 def build(body):
     def kernel(a_ref, b_ref, o_ref):
-        a = a_ref[...]
+        # seed with program_id so the body cannot be hoisted out of the
+        # grid loop as loop-invariant (first probe version measured pure
+        # grid overhead: times did not scale with K)
+        t = pl.program_id(0).astype(jnp.float32)
+        a = a_ref[...] + t * 1e-9
         b = b_ref[...]
         o_ref[...] = body(a, b)
 
