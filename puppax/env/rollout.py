@@ -568,7 +568,11 @@ class FastLane:
 
             layers = fused_unroll.fold_normalizer(normalizer, params)
             shapes = tuple(w.shape for w, _ in layers)
-            cache_key = (T, shapes, self.gait)
+            # hidden_activation is baked into the compiled kernel — keying
+            # on it prevents a second unroll() with a different activation
+            # but same layer shapes from silently reusing the old kernel
+            # (ADVICE r4: silent wrong numerics)
+            cache_key = (T, shapes, self.gait, hidden_activation)
             run = self._fused_kernels.get(cache_key)
             if run is None:
                 run = fused_unroll.build_unroll_kernel(

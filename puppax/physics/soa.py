@@ -70,6 +70,13 @@ from puppax.model.mjcf import JNT_FREE, JNT_HINGE, RobotModel
 import os as _os
 
 SUB = int(_os.environ.get("PUPPAX_SUB", "8"))
+if SUB not in (8, 16, 32):
+    raise ValueError(
+        f"PUPPAX_SUB={SUB} is not a supported tile width: must be 8, 16 or "
+        "32 (a multiple of the f32 vreg sublane count; other values "
+        "mis-size every (SUB, LANE) block and surface as obscure Mosaic "
+        "tiling failures)"
+    )
 LANE = 128
 TILE_B = SUB * LANE
 

@@ -166,6 +166,7 @@ def train(
     devices=None,
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
+    metrics_logger=None,
 ):
     """Train a PPO policy; returns (make_policy, params, metrics).
 
@@ -651,11 +652,18 @@ def train(
 
             from puppax.train import checkpoint as ckpt_lib
 
-            ckpt_lib.save_checkpoint(
+            ckpt_path = ckpt_lib.save_checkpoint(
                 current_step,
                 jax.device_get(training_state),
                 _os.path.join(str(checkpoint_dir), "state"),
             )
+            if metrics_logger is not None:
+                # reference utils.py:204-211: every checkpoint save is
+                # followed by an artifact-store upload (wandb.log_model);
+                # the pluggable sink records a pointer line on JSONL runs
+                metrics_logger.log_artifact(
+                    ckpt_path, name=f"checkpoint_state_{current_step}"
+                )
 
     params = (training_state.normalizer_params, training_state.params)
     return make_policy, params, all_metrics

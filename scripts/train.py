@@ -216,6 +216,7 @@ def main():
         policy_params_fn=policy_params_fn,
         checkpoint_dir=t.checkpoint_path,
         resume=args.resume,
+        metrics_logger=logger,
     )
     print(json.dumps({k: v for k, v in metrics.items()}, default=float, indent=2))
     if t.checkpoint_path and is_lead:

@@ -64,6 +64,59 @@ def test_metrics_logger_log_artifact(tmp_path):
     assert stub.calls == [(str(tmp_path / "ckpt" / "100"), "checkpoint_100")]
 
 
+def test_ppo_train_logs_checkpoint_artifacts(tmp_path):
+    """ppo.train's own state-checkpoint path calls the metrics sink's
+    log_artifact after each save (reference utils.py:204-211: every
+    checkpoint is followed by an artifact upload) — VERDICT r4 item 8."""
+    import functools
+
+    from puppax.configs import get_config
+    from puppax.env import PupperV3Env
+    from puppax.train import ppo
+
+    env = PupperV3Env(
+        path=None,
+        reward_config=get_config(),
+        action_scale=0.75,
+        observation_history=1,
+    )
+    net_factory = functools.partial(
+        make_ppo_networks,
+        policy_hidden_layer_sizes=(8,),
+        value_hidden_layer_sizes=(8,),
+    )
+    path = str(tmp_path / "metrics.jsonl")
+    logger = MetricsLogger(jsonl_path=path)
+    steps_per = 4 * 4 * 2  # batch*unroll*minibatches
+    ppo.train(
+        env,
+        num_timesteps=2 * steps_per,
+        episode_length=8,
+        num_envs=8,
+        num_eval_envs=8,
+        unroll_length=4,
+        batch_size=4,
+        num_minibatches=2,
+        num_updates_per_batch=1,
+        num_evals=3,  # 2 eval epochs after init -> 2 checkpoints
+        seed=1,
+        network_factory=net_factory,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        metrics_logger=logger,
+    )
+    artifacts = [
+        json.loads(line)
+        for line in open(path)
+        if "artifact" in json.loads(line)
+    ]
+    assert len(artifacts) == 2  # one per eval epoch
+    for rec in artifacts:
+        assert rec["artifact"].startswith("checkpoint_state_")
+        import os
+
+        assert os.path.isdir(rec["path"])
+
+
 def test_progress_fn_accumulates_curve(tmp_path):
     logger = MetricsLogger(jsonl_path=str(tmp_path / "m.jsonl"))
     progress = make_progress_fn(logger)
