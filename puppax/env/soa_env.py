@@ -241,6 +241,7 @@ def host_consts_from_args(**kw) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+@soa.with_cse
 def _emit_env_step(
     s: soa._Static,
     es: _EnvStatic,
@@ -785,6 +786,7 @@ def _sel(mask, a, b, ref):
     return jnp.where(_mat(mask, ref) > 0.5, _mat(a, ref), _mat(b, ref))
 
 
+@soa.with_cse
 def _emit_wrapped_step(
     s: soa._Static,
     es: _EnvStatic,

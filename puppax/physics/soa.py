@@ -104,6 +104,83 @@ def _c(x) -> bool:
     return isinstance(x, (int, float))
 
 
+# --- trace-time CSE (hash-consing) -----------------------------------------
+# Inside a ``cse_scope`` the algebra memoizes every emitted op on the
+# IDENTITY of its operands: re-emitting the same (op, a, b) returns the
+# first result instead of a duplicate equation. Bit-identical numerics
+# (the reused value IS the original computation); the win is real op-count
+# reduction in the Mosaic program — the r4 fma probe showed Mosaic does no
+# mul+add peephole and the census measured ~43k eqs with heavy repetition
+# across the quaternion/spatial chains (VERDICT r5 item 1). The memo keeps
+# strong references to operands so id() values cannot be recycled while
+# they serve as keys. NESTED trace contexts (the substep fori_loop body)
+# must push their own scope: a memo entry whose result is an inner-trace
+# tracer would otherwise leak into the outer trace.
+_CSE_MEMO = None
+# PUPPAX_CSE=off: emit without hash-consing (the pre-r5 program) — the
+# A/B switch for measuring the op-count reduction on-chip
+_CSE_ENABLED = _os.environ.get("PUPPAX_CSE", "on") != "off"
+
+
+class cse_scope:
+    """Context manager activating hash-consing for emissions inside it.
+
+    Default (``fresh=False``): JOIN the active scope when one exists so
+    nested emitters share one memo (cross-phase CSE), creating a memo only
+    at the outermost entry. ``fresh=True``: always push a new memo — used
+    at TRACE boundaries (the substep fori_loop body), where a memo entry
+    whose result is an inner-trace tracer must not leak outward."""
+
+    def __init__(self, fresh: bool = False):
+        self._fresh = fresh
+
+    def __enter__(self):
+        global _CSE_MEMO
+        self._prev = _CSE_MEMO
+        if not _CSE_ENABLED:
+            return self
+        if self._fresh or _CSE_MEMO is None:
+            _CSE_MEMO = {}
+        return self
+
+    def __exit__(self, *exc):
+        global _CSE_MEMO
+        _CSE_MEMO = self._prev
+        return False
+
+
+def with_cse(fn):
+    """Decorator: run ``fn`` inside a (joining) cse_scope."""
+
+    def wrapped(*args, **kwargs):
+        with cse_scope():
+            return fn(*args, **kwargs)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+def _ckey(x):
+    return ("c", x) if _c(x) else ("t", id(x))
+
+
+def _cse2(op: str, a, b, emit):
+    memo = _CSE_MEMO
+    if memo is None:
+        return emit()
+    ka, kb = _ckey(a), _ckey(b)
+    if op in ("add", "mul") and kb < ka:  # commutative: canonical order
+        ka, kb = kb, ka
+    key = (op, ka, kb)
+    hit = memo.get(key)
+    if hit is not None:
+        return hit[2]
+    res = emit()
+    memo[key] = (a, b, res)
+    return res
+
+
 def add(a, b):
     if _c(a) and _c(b):
         return a + b
@@ -111,7 +188,7 @@ def add(a, b):
         return b
     if _c(b) and b == 0.0:
         return a
-    return a + b
+    return _cse2("add", a, b, lambda: a + b)
 
 
 def sub(a, b):
@@ -121,13 +198,13 @@ def sub(a, b):
         return a
     if _c(a) and a == 0.0:
         return neg(b)
-    return a - b
+    return _cse2("sub", a, b, lambda: a - b)
 
 
 def neg(a):
     if _c(a):
         return -a
-    return -a
+    return _cse2("neg", a, a, lambda: -a)
 
 
 def mul(a, b):
@@ -140,7 +217,7 @@ def mul(a, b):
             return b
         if a == -1.0:
             return neg(b)
-        return a * b
+        return _cse2("mul", a, b, lambda: a * b)
     if _c(b):
         if b == 0.0:
             return 0.0
@@ -148,7 +225,7 @@ def mul(a, b):
             return a
         if b == -1.0:
             return neg(a)
-    return a * b
+    return _cse2("mul", a, b, lambda: a * b)
 
 
 def fma(acc, a, b):
@@ -1451,17 +1528,30 @@ def _emit_forward(s: _Static, q, v, ctrl, dr):
             (1.0 - imp) / jnp.maximum(imp, _MINVAL), _MINVAL
         )
         pen_active = dist < 0
-        # facet order matches constraint.make_efc: [t1+, t1-, t2+, t2-]
-        for sgn, jt, jtv in ((1.0, jt1, jt1_v), (-1.0, jt1, jt1_v),
-                             (1.0, jt2, jt2_v), (-1.0, jt2, jt2_v)):
-            J = {}
-            for d in dofs:
-                J[d] = add(jn[d], mul(mul(sgn, mu), jt[d]))
-            jvel = add(jn_v, mul(mul(sgn, mu), jtv))
-            aref = sub(neg(mul(mul(imp, K), dist)), mul(Bc, jvel))
-            R = jnp.maximum(base_R * materialize(r_t, base_R), _MINVAL)
-            D = jnp.where(pen_active, 1.0 / R, 0.0)
-            rows_con.append(_Row(J=J, aref=aref, D=D, R=R, floss=0.0, fric=False))
+        # facet order matches constraint.make_efc: [t1+, t1-, t2+, t2-].
+        # The +/- facets share mu*jt products BIT-EXACTLY: IEEE gives
+        # (-mu)*jt == -(mu*jt) and a + (-x) == a - x, so emitting the
+        # product once and using sub for the - facet is the identical
+        # value at half the muls (r5 op-count reduction; the old form
+        # mul(mul(-1, mu), jt) emitted a fresh neg-side product chain
+        # CSE cannot merge with the + side)
+        base0 = neg(mul(mul(imp, K), dist))
+        R = jnp.maximum(base_R * materialize(r_t, base_R), _MINVAL)
+        D = jnp.where(pen_active, 1.0 / R, 0.0)
+        for jt, jtv in ((jt1, jt1_v), (jt2, jt2_v)):
+            mujt = {d: mul(mu, jt[d]) for d in dofs}
+            mujtv = mul(mu, jtv)
+            for pos_facet in (True, False):
+                if pos_facet:
+                    J = {d: add(jn[d], mujt[d]) for d in dofs}
+                    jvel = add(jn_v, mujtv)
+                else:
+                    J = {d: sub(jn[d], mujt[d]) for d in dofs}
+                    jvel = sub(jn_v, mujtv)
+                aref = sub(base0, mul(Bc, jvel))
+                rows_con.append(
+                    _Row(J=J, aref=aref, D=D, R=R, floss=0.0, fric=False)
+                )
 
     # ---- dof friction rows (static D/R) ----
     rows_fric = []
@@ -1840,6 +1930,7 @@ def _emit_caches(s: _Static, fw, out_ref, ref):
     put("con_pos", cpos)
 
 
+@with_cse
 def _emit_substeps(s: _Static, q, v, ctrl, dr, n_substeps: int):
     """Emit the n_substeps pipeline: all-but-last substeps via a fori_loop
     of (forward + integrate), then the final forward. Returns
@@ -1849,15 +1940,20 @@ def _emit_substeps(s: _Static, q, v, ctrl, dr, n_substeps: int):
     ref = q[0]
     if n_substeps > 1:
         def body(_, carry):
-            qs, vs = carry
-            ql = [qs[i] for i in range(s.nq)]
-            vl = [vs[i] for i in range(s.nv)]
-            fw = _emit_forward(s, ql, vl, ctrl, dr)
-            q2, v2 = _emit_integrate(s, ql, vl, fw["qacc"])
-            return (
-                jnp.stack([materialize(t, ref) for t in q2]),
-                jnp.stack([materialize(t, ref) for t in v2]),
-            )
+            # fresh CSE scope: the body is a NESTED trace — memo entries
+            # whose results are body-trace tracers must not leak into the
+            # outer kernel trace (outer-scope hits inside here are fine:
+            # capturing an outer value in the loop body is legal)
+            with cse_scope(fresh=True):
+                qs, vs = carry
+                ql = [qs[i] for i in range(s.nq)]
+                vl = [vs[i] for i in range(s.nv)]
+                fw = _emit_forward(s, ql, vl, ctrl, dr)
+                q2, v2 = _emit_integrate(s, ql, vl, fw["qacc"])
+                return (
+                    jnp.stack([materialize(t, ref) for t in q2]),
+                    jnp.stack([materialize(t, ref) for t in v2]),
+                )
 
         qs, vs = jax.lax.fori_loop(
             0, n_substeps - 1, body,
@@ -1892,25 +1988,26 @@ def _build_kernel(s: _Static, n_substeps: int, integrate: bool):
     """Kernel: (q, v, ctrl, dr) -> (q', v', caches-of-last-forward)."""
 
     def kernel(q_ref, v_ref, ctrl_ref, dr_ref, qout_ref, vout_ref, cache_ref):
-        q = [q_ref[i] for i in range(s.nq)]
-        v = [v_ref[i] for i in range(s.nv)]
-        ctrl = [ctrl_ref[i] for i in range(s.nu)]
-        dr = {
-            name: [dr_ref[r0 + i] for i in range(n)]
-            for name, (r0, n) in s.dr_rows.items()
-        }
-        ref = q[0]
+        with cse_scope():
+            q = [q_ref[i] for i in range(s.nq)]
+            v = [v_ref[i] for i in range(s.nv)]
+            ctrl = [ctrl_ref[i] for i in range(s.nu)]
+            dr = {
+                name: [dr_ref[r0 + i] for i in range(n)]
+                for name, (r0, n) in s.dr_rows.items()
+            }
+            ref = q[0]
 
-        q, v, fw = _emit_substeps(s, q, v, ctrl, dr, n_substeps)
-        _emit_caches(s, fw, cache_ref, ref)
-        if integrate:
-            q2, v2 = _emit_integrate(s, q, v, fw["qacc"])
-        else:
-            q2, v2 = q, v
-        for i in range(s.nq):
-            qout_ref[i] = materialize(q2[i], ref)
-        for i in range(s.nv):
-            vout_ref[i] = materialize(v2[i], ref)
+            q, v, fw = _emit_substeps(s, q, v, ctrl, dr, n_substeps)
+            _emit_caches(s, fw, cache_ref, ref)
+            if integrate:
+                q2, v2 = _emit_integrate(s, q, v, fw["qacc"])
+            else:
+                q2, v2 = q, v
+            for i in range(s.nq):
+                qout_ref[i] = materialize(q2[i], ref)
+            for i in range(s.nv):
+                vout_ref[i] = materialize(v2[i], ref)
 
     return kernel
 

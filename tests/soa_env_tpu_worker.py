@@ -108,15 +108,43 @@ def main():
 
         st2 = block(st)  # compile warmup
         jax.block_until_ready(st2.obs)
+        # median of 3 back-to-back blocks: the r4 queue saw one-off 2.6x
+        # outliers on this gate that flipped WHICH config failed between
+        # same-day runs — single-shot timing on the tunneled backend is
+        # not a gate-grade measurement (VERDICT r4 item 5)
+        per_block = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st2 = block(st2)
+            jax.block_until_ready(st2.obs)
+            per_block.append((time.perf_counter() - t0) / STEPS_TIMED)
+        timings[mode] = sorted(per_block)[1]
+        timings[mode + "_all"] = per_block
+
+    # tunnel-health probe: median dispatch+sync latency of a trivial
+    # jitted op. A healthy tunnel sits at ~1-2 ms; tens of ms means the
+    # session is degraded and the kernel-vs-kernel ratio below carries
+    # environment noise — recorded so a gate failure is diagnosable from
+    # the JSON alone (VERDICT r4 item 5). block_until_ready is not a D2H
+    # read, so this does not trip the dispatch-degradation trap.
+    tiny = jax.jit(lambda x: x + 1.0)
+    z = tiny(jnp.zeros((8, 128), jnp.float32))
+    jax.block_until_ready(z)
+    lat = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        st2 = block(st2)
-        jax.block_until_ready(st2.obs)
-        timings[mode] = (time.perf_counter() - t0) / STEPS_TIMED
+        z = tiny(z)
+        jax.block_until_ready(z)
+        lat.append(time.perf_counter() - t0)
+    dispatch_ms = sorted(lat)[2] * 1e3
 
     # D2H reads only now
     a, b = results["auto"], results["off"]
     out = {
         "backend": backend,
+        "dispatch_ms": dispatch_ms,
+        "env_kernel_us_per_step_all": [t * 1e6 for t in timings["auto_all"]],
+        "phys_kernel_us_per_step_all": [t * 1e6 for t in timings["off_all"]],
         "d_q": float(jnp.max(jnp.abs(a.pipeline_state.qpos - b.pipeline_state.qpos))),
         "d_obs": float(jnp.max(jnp.abs(a.obs - b.obs))),
         "d_rew": float(jnp.max(jnp.abs(a.reward - b.reward))),
