@@ -93,6 +93,15 @@ MAX_HFIELD_CELLS = 4096
 # named phase, padding outputs with already-computed values
 PHASE_LIMIT = None
 
+# Line-search trip counts (the Illinois regula-falsi in _emit_newton).
+# Each iteration is one dphi sweep over every one-sided constraint row —
+# ~20% of the substep body's vector work at the defaults — so these are
+# first-order perf knobs. The roofline entry (docs/ROADMAP.md r5) and the
+# CPU oracle suite bound how low they can go; PUPPAX_LS_* override for
+# A/B experiments.
+LS_EXPAND_ITERS = int(_os.environ.get("PUPPAX_LS_EXPAND", "12"))
+LS_ILLINOIS_ITERS = int(_os.environ.get("PUPPAX_LS_ILLINOIS", "24"))
+
 
 # ---------------------------------------------------------------------------
 # value algebra with constant folding
@@ -1813,7 +1822,7 @@ def _emit_newton(s: _Static, M, qacc_smooth, rows: List["_Row"], v):
             # phi' eventually increases with slope >= h0)
             return jnp.where(dphi(hi) <= 0, hi * 4.0, hi)
 
-        hi = jax.lax.fori_loop(0, 12, expand, hi)
+        hi = jax.lax.fori_loop(0, LS_EXPAND_ITERS, expand, hi)
         lo = jnp.zeros_like(hi)
         f_lo = dphi(lo)
         f_hi = dphi(hi)
@@ -1841,7 +1850,7 @@ def _emit_newton(s: _Static, M, qacc_smooth, rows: List["_Row"], v):
 
         side0 = jnp.zeros_like(hi, jnp.int32)
         lo, _, hi, _, _ = jax.lax.fori_loop(
-            0, 24, illinois, (lo, f_lo, hi, f_hi, side0)
+            0, LS_ILLINOIS_ITERS, illinois, (lo, f_lo, hi, f_hi, side0)
         )
         # final exact secant on the (now segment-local) bracket with
         # un-scaled phi' values
