@@ -802,6 +802,35 @@ class _Static:
             )
         self.npair = len(self.pairs)
 
+        # Newton-Hessian sparsity from the ACTUAL contact-row couplings
+        # (r5): start from the kinematic-tree ancestor pattern (what the
+        # CRB mass matrix occupies), add a clique over the union of both
+        # bodies' chains for every collision pair (conservative: the
+        # emitter's dof_coeff sets are subsets after shared-dof
+        # cancellation), then close under symbolic reverse-elimination
+        # fill-in (the _ldl_factor_dict order). For flat/obstacle/hfield
+        # configs — whose rows each couple ONE chain — this collapses to
+        # the fill-in-free tree pattern, cutting the dense 18x18 factor
+        # (~2x Sum k^2 = 3.6k eqs/iter) to the ~1.4k tree factor;
+        # leg-leg pairs (sphere-sphere, capsule-capsule) grow it only
+        # where they actually couple.
+        hess = anc.copy()
+        for pr in self.pairs:
+            dofs = sorted(
+                set(chains[pr.body1]) | set(chains[pr.body2])
+            )
+            for i_d in dofs:
+                for j_d in dofs:
+                    if j_d <= i_d:
+                        hess[i_d, j_d] = True
+        for k in reversed(range(m.nv)):
+            ancs = [i for i in range(k) if hess[k, i]]
+            for a_i in ancs:
+                for b_i in ancs:
+                    if b_i <= a_i:
+                        hess[a_i, b_i] = True
+        self.hess = hess
+
         # limited joints
         self.lim_joints = [j for j in range(m.njnt) if m.jnt_limited[j]]
 
@@ -1754,12 +1783,15 @@ def _emit_newton(s: _Static, M, qacc_smooth, rows: List["_Row"], v):
             for d, jv in r.J.items():
                 grad[d] = sub(grad[d], mul(jv, f))
 
-        # Hessian on the DENSE lower pattern: sphere-sphere rows couple two
-        # legs (outside the tree pattern), and elimination fills in further
+        # Hessian on the row-coupling pattern s.hess (r5): the tree
+        # ancestor pattern plus a clique per collision pair plus symbolic
+        # fill-in — exactly dense when leg-leg pairs demand it, tree-sparse
+        # for flat/obstacle/hfield (see _Static)
         H = {
             (j, k): M.get((j, k), 0.0)
             for j in range(s.nv)
             for k in range(j + 1)
+            if s.hess[j, k]
         }
         for r, w in zip(rows, quadw):
             dofs = list(r.J.keys())
@@ -1769,7 +1801,7 @@ def _emit_newton(s: _Static, M, qacc_smooth, rows: List["_Row"], v):
                     H[(hi, lo)] = fma(
                         H[(hi, lo)], mul(w, r.J[d1]), r.J[d2]
                     )
-        dx = [neg(t) for t in _ldl_solve_dict(s, H, grad, pattern=s.dense)]
+        dx = [neg(t) for t in _ldl_solve_dict(s, H, grad, pattern=s.hess)]
 
         # ---- exact line search (solver.py:97-139), rows stacked ----
         jv_rows = []
