@@ -591,3 +591,61 @@ def test_fast_unroll_sharded_real_emission_truncated():
         )
     finally:
         soa.PHASE_LIMIT = None
+
+
+@pytest.mark.slow
+def test_fast_unroll_matches_generate_unroll_with_dr(setup):
+    """The fast lane under DOMAIN-RANDOMIZED per-env model leaves
+    (reference domain_randomization.py:93-112 protocol) vs the standard
+    lane with the same batched model: the lane sources its per-env DR
+    parameter rows from vm._model via soa.dr_inputs, which until r5 had
+    no isolated test (bench config 'dr' / BASELINE config 3 rides this
+    path; DR is on by default in training)."""
+    from puppax.env.domain_randomization import domain_randomize
+
+    env, _, nets, policy_params, normalizer = setup
+    rand_rng = jax.random.split(jax.random.PRNGKey(42), B)
+    wrapped = wrappers.wrap_for_training(
+        env, episode_length=EPISODE_LENGTH,
+        randomization_fn=lambda model, rng: domain_randomize(model, rng),
+        randomization_rng=rand_rng,
+    )
+    fl = rollout.FastLane(wrapped, mode="xla")
+    state = _reset(wrapped)
+    key = jax.random.PRNGKey(11)
+
+    policy = ppo_networks.make_inference_fn(nets)((normalizer, policy_params))
+    ref_final, ref_data = jax.jit(
+        lambda s, k: acting.generate_unroll(wrapped, s, policy, k, T)
+    )(state, key)
+    got_final, got_data = fl.unroll(
+        state, (normalizer, policy_params), key, T, jax.nn.elu
+    )
+
+    atol = 2e-4
+    np.testing.assert_allclose(
+        np.asarray(got_data.observation), np.asarray(ref_data.observation),
+        atol=atol, err_msg="observation",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_data.reward), np.asarray(ref_data.reward), atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_data.discount), np.asarray(ref_data.discount)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_final.pipeline_state.qpos),
+        np.asarray(ref_final.pipeline_state.qpos), atol=atol,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_final.obs), np.asarray(ref_final.obs), atol=atol
+    )
+    # the randomized models must actually differ across envs (guards a
+    # silently-broadcast model: reference test_domain_randomization.py
+    # asserts batched leaf shapes)
+    vm = wrapped.env
+    assert vm._model.geom_friction.ndim == 3
+    assert not np.allclose(
+        np.asarray(vm._model.geom_friction[0]),
+        np.asarray(vm._model.geom_friction[1]),
+    )
