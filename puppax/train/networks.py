@@ -47,20 +47,26 @@ class MLP(nn.Module):
     activation: ActivationFn = nn.swish
     activate_final: bool = False
     kernel_init: Callable = jax.nn.initializers.lecun_uniform()
+    precision: Any = jax.lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, size in enumerate(self.layer_sizes):
-            # HIGHEST: f32-accurate MXU passes. The TPU default (bf16
-            # one-pass) would silently WEAKEN numerics vs the reference
-            # (brax MLPs run plain f32 on GPU), and the rollout fast
-            # lane / fused unroll kernel compute their policy dots in
-            # f32 — pinning every lane to HIGHEST keeps policy math
+            # HIGHEST (default): f32-accurate MXU passes. The TPU default
+            # (bf16 one-pass) would silently WEAKEN numerics vs the
+            # reference (brax MLPs run plain f32 on GPU), and the rollout
+            # fast lane / fused unroll kernel compute their policy dots in
+            # f32 — pinning the POLICY lanes to HIGHEST keeps policy math
             # identical across the standard lane, the tile lanes, and
             # the C++ deployment runtime (f64 replay, export/params.py).
+            # The VALUE network has no kernel-lane or deployment
+            # counterpart, so its precision is a tunable (see
+            # make_ppo_networks value_precision): HIGHEST runs ~6 MXU
+            # passes per dot and the value net dominates the learner's
+            # FLOPs at default sizes (5x256 vs the policy's 4x128).
             x = nn.Dense(
                 size, name=f"hidden_{i}", kernel_init=self.kernel_init,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=self.precision,
             )(x)
             if i != len(self.layer_sizes) - 1 or self.activate_final:
                 x = self.activation(x)
@@ -109,6 +115,7 @@ def make_ppo_networks(
     value_hidden_layer_sizes: Sequence[int] = (256, 256, 256, 256, 256),
     activation: ActivationFn = nn.swish,
     privileged_size: int = 0,
+    value_precision: str = "highest",
 ) -> PPONetworks:
     """Build policy (obs -> 2*action logits) and value (obs -> scalar).
 
@@ -122,9 +129,15 @@ def make_ppo_networks(
         layer_sizes=tuple(policy_hidden_layer_sizes) + (dist.param_size,),
         activation=activation,
     )
+    prec_map = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }
     value_module = MLP(
         layer_sizes=tuple(value_hidden_layer_sizes) + (1,),
         activation=activation,
+        precision=prec_map[value_precision],
     )
     policy_network = _make_network(policy_module, observation_size)
 

@@ -183,6 +183,7 @@ def main():
         policy_hidden_layer_sizes=t.policy_hidden_layer_sizes,
         value_hidden_layer_sizes=t.value_hidden_layer_sizes,
         activation=activation_fn_map(t.activation),
+        value_precision=t.value_precision,
     )
 
     make_policy, params, metrics = ppo.train(
