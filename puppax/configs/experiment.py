@@ -139,6 +139,11 @@ class TrainConfig:
     # learner's FLOPs, so 'high'/'default' trade value-estimate precision
     # for SGD throughput (measure eval quality before adopting).
     value_precision: str = "highest"
+    # Gather each SGD minibatch lazily inside the update scan instead of
+    # materializing the full shuffled batch tensor (bit-identical
+    # training trajectory; a learner-throughput lever — see
+    # docs/TRAINING.md "Profiling the learner").
+    lazy_shuffle: bool = False
     checkpoint_path: Optional[str] = None
     metrics_jsonl: Optional[str] = None
     # live training-curve errorbar plot (reference utils.py:97-112); headless

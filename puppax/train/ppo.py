@@ -152,6 +152,7 @@ def train(
     gae_lambda: float = 0.95,
     normalize_advantage: bool = True,
     normalize_observations: bool = True,
+    lazy_shuffle: bool = False,
     max_grad_norm: Optional[float] = None,
     seed: int = 0,
     num_evals: int = 1,
@@ -411,6 +412,39 @@ def train(
 
         total_batch = batch_size * num_minibatches
         perm = jax.random.permutation(key_perm, total_batch)
+
+        if lazy_shuffle:
+            # Same permutation, same minibatch rows, same order — but the
+            # gather happens PER MINIBATCH inside the scan instead of
+            # materializing the full (M, T, mb, ...) shuffled tensor up
+            # front. This skips the eager full-data take + reshape +
+            # swapaxes relayouts (the learner's top non-rollout cost in
+            # the PUPPAX_PPO_PROFILE breakdown: ~33 ms/update standalone
+            # at default sizes) at the price of M smaller gathers that
+            # XLA can overlap with the minibatch compute. Bit-identical
+            # training trajectory to the eager path by construction
+            # (tests/test_train.py::test_lazy_shuffle_bit_parity).
+            perm_mb = perm.reshape((num_minibatches, batch_size))
+
+            def _lazy_minibatch_step(carry, idx):
+                mb = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        jnp.take(x, idx, axis=1),
+                        NamedSharding(device_mesh, time_batch),
+                    ),
+                    data,
+                )
+                return minibatch_step(carry, mb)
+
+            (opt_state, params, _, _, _), metrics = jax.lax.scan(
+                _lazy_minibatch_step,
+                (opt_state, params, normalizer_params, key_grad, ec_now),
+                perm_mb,
+                length=num_minibatches,
+            )
+            return (
+                opt_state, params, normalizer_params, key_, ec_now
+            ), metrics
 
         shuffled = jax.tree_util.tree_map(
             lambda x: _shuffle_data(x, perm), data

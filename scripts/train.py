@@ -207,6 +207,7 @@ def main():
         clipping_epsilon=t.clipping_epsilon,
         gae_lambda=t.gae_lambda,
         normalize_observations=t.normalize_observations,
+        lazy_shuffle=t.lazy_shuffle,
         seed=t.seed,
         num_evals=t.num_evals,
         network_factory=network_factory,

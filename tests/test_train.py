@@ -207,3 +207,42 @@ def test_ppo_checkpoint_resume(tmp_path):
         jax.tree_util.tree_leaves(params1[1]), jax.tree_util.tree_leaves(params2[1])
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_lazy_shuffle_bit_parity():
+    """train(lazy_shuffle=True) follows the EXACT same training
+    trajectory as the eager global shuffle: same permutation key stream,
+    same minibatch rows in the same order, only the gather is deferred
+    into the update scan (ppo.py sgd_step). Final params must match the
+    eager path bit-for-bit — the knob is a pure layout/throughput lever
+    (VERDICT r4 item 2: learner-overhead levers)."""
+    env = PupperV3Env(
+        path=None,
+        reward_config=get_config(),
+        action_scale=0.75,
+        observation_history=2,
+    )
+    kwargs = dict(
+        episode_length=16,
+        num_envs=8,
+        num_eval_envs=8,
+        unroll_length=4,
+        batch_size=4,
+        num_minibatches=2,
+        num_updates_per_batch=2,
+        num_evals=1,
+        seed=3,
+    )
+    steps = 2 * 4 * 4 * 2  # 2 training steps worth
+    _, params_eager, _ = ppo.train(
+        env, num_timesteps=steps, lazy_shuffle=False, **kwargs
+    )
+    _, params_lazy, _ = ppo.train(
+        env, num_timesteps=steps, lazy_shuffle=True, **kwargs
+    )
+    eager_leaves = jax.tree_util.tree_leaves(params_eager)
+    lazy_leaves = jax.tree_util.tree_leaves(params_lazy)
+    assert len(eager_leaves) == len(lazy_leaves)
+    for a, b in zip(eager_leaves, lazy_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
